@@ -1,0 +1,119 @@
+"""Parabolic Monge–Ampère spectral mesh solver.
+
+TPU-native form of the reference's ``solve_PMA``/``loop_pma``
+(droplet.py:578-599, PMA2_nk.py:393-403):
+
+    dQ/dt = [alpha (I - gamma lap_ksi)]^{-1} sqrt(mon |J|)
+
+applied spectrally — forward 2-D DCT, pointwise divide by ``1 - gamma Leig``,
+inverse DCT — with the DCTs as MXU matmuls (ops.dct).  ``Leig`` uses the
+reference's exact eigenvalue array (droplet.py:830-833), including its
+``/(dksi*deta)`` normalisation for both axes.
+
+``loop_pma`` runs the PMA sub-iteration (re-deriving mesh geometry, the
+solution's physical derivatives, and the smoothed monitor each pass, then an
+explicit Euler update of Q) as a ``lax.fori_loop`` — one compiled loop, no
+host round trips, in contrast to the reference's 400-iteration Python loop at
+2.1 ms/iter (BASELINE.md row 3).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.grid import Grid2D
+from ..ops import curvilinear
+from ..ops.dct import dct2, idct2
+from .monitor import smooth_and_regularise
+
+
+@dataclasses.dataclass(frozen=True)
+class PMAParams:
+    """Mesh-adaptivity knobs (droplet.py:41-45, PMA2_nk.py:27-31)."""
+
+    alpha: float = 0.01        # mesh adaption speed
+    gamma: float = 0.1         # smoothing extent
+    mackenzie_c: float = 1.0   # Mackenzie constant (0.15 for droplet)
+    smoothing_iters: int = 4
+
+
+@lru_cache(maxsize=16)
+def pma_leig(grid: Grid2D) -> np.ndarray:
+    """Reference eigenvalue array for the (I - gamma lap) DCT solve.
+
+    droplet.py:830-833: ``(2 cos(pi i/(Ny-1)) - 2) + (2 cos(pi j/(Nx-1)) - 2)``
+    over ``dksi * deta`` (the reference divides *both* axes' eigenvalues by
+    the mixed spacing product; reproduced exactly).
+    """
+    ey = 2.0 * np.cos(np.pi * np.arange(grid.ny) / (grid.ny - 1)) - 2.0
+    ex = 2.0 * np.cos(np.pi * np.arange(grid.nx) / (grid.nx - 1)) - 2.0
+    return (ey[:, None] + ex[None, :]) / (grid.dx * grid.dy)
+
+
+def solve_pma(mon, jac, grid: Grid2D, params: PMAParams):
+    """dQ/dt from a smoothed monitor and mesh Jacobian (droplet.py:578-588)."""
+    q_rhs = jnp.sqrt(mon * jnp.abs(jac)) / params.alpha
+    leig = jnp.asarray(pma_leig(grid), dtype=q_rhs.dtype)
+    return idct2(dct2(q_rhs) / (1.0 - params.gamma * leig))
+
+
+def pma_dqdt(q, u, grid: Grid2D, params: PMAParams,
+             monitor_source: Callable):
+    """Full chain: geometry -> monitor source -> smoothing -> spectral solve.
+
+    ``monitor_source(u, geom, grid)`` returns the raw adaptivity field (model
+    specific — |lap u|^2, arclength, or 1/(1+u)^6; see models.*).
+    """
+    geom = curvilinear.mesh_geometry(q, grid)
+    src = monitor_source(u, geom, grid)
+    mon = smooth_and_regularise(
+        src, geom.jac, grid.dx, grid.dy,
+        smoothing_iters=params.smoothing_iters,
+        mackenzie_c=params.mackenzie_c,
+    )
+    return solve_pma(mon, geom.jac, grid, params)
+
+
+def loop_pma(q, u, dt: float, loops: int, grid: Grid2D, params: PMAParams,
+             monitor_source: Callable):
+    """``loops`` explicit PMA sub-steps (droplet.py:590-599) under one jit."""
+
+    def body(_, q):
+        dqdt = pma_dqdt(q, u, grid, params, monitor_source)
+        return q + dt * dqdt
+
+    return lax.fori_loop(0, loops, body, q)
+
+
+def mesh_steady_state(q, u, dt: float, grid: Grid2D, params: PMAParams,
+                      monitor_source: Callable, atol: float,
+                      max_iters: int = 10000):
+    """Iterate the PMA to mesh steady state (reference ``check_mesh``,
+    droplet.py:250-314): stop when ``max ||delta(x, y)||_2 < atol``.
+
+    Returns (q, iterations, converged).
+    """
+
+    def cond(state):
+        q, x_old, y_old, i, diff = state
+        return (diff >= atol) & (i < max_iters)
+
+    def body(state):
+        q, x_old, y_old, i, _ = state
+        dqdt = pma_dqdt(q, u, grid, params, monitor_source)
+        q_new = q + dt * dqdt
+        geom = curvilinear.mesh_geometry(q_new, grid)
+        diff = jnp.max(jnp.sqrt((geom.x - x_old) ** 2 + (geom.y - y_old) ** 2))
+        return (q_new, geom.x, geom.y, i + 1, diff)
+
+    geom0 = curvilinear.mesh_geometry(q, grid)
+    state = (q, geom0.x, geom0.y, jnp.int32(0),
+             jnp.asarray(jnp.inf, q.dtype))
+    q, _, _, iters, diff = lax.while_loop(cond, body, state)
+    return q, iters, diff < atol
