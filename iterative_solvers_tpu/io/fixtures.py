@@ -1,0 +1,76 @@
+"""Loaders for the reference's checked-in ``initdrop_*.txt`` solver states.
+
+The reference serialises ``(U.val[i], Q.val[i])`` line-per-node with the full
+configuration encoded in the filename
+(``initdrop_{kind}_{R}_{Nx}-{Ny}_{a}_{eps}_{alpha}_{gamma}_{C}.txt`` —
+droplet.py:137-138, 556-576).  These 14 files are deterministic golden solver
+states and serve as regression fixtures (SURVEY.md §4.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import re
+
+import numpy as np
+
+_NAME_RE = re.compile(
+    r"initdrop_(?P<kind>[a-z]+)_(?P<R>[\d.]+)_(?P<nx>\d+)-(?P<ny>\d+)"
+    r"_(?P<a>[\d.]+)_(?P<eps>[\d.]+)_(?P<alpha>[\d.]+)_(?P<gamma>[\d.]+)"
+    r"_(?P<C>[\d.]+)\.txt"
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DropletFixture:
+    kind: str          # "rect" (single drop) or "coal" (coalescence pair)
+    R: float
+    nx: int
+    ny: int
+    a: float
+    epsilon: float
+    alpha: float
+    gamma: float
+    mackenzie_c: float
+    u: np.ndarray      # (ny, nx) solution
+    q: np.ndarray      # (ny, nx) mesh potential
+
+
+def parse_name(name: str) -> dict:
+    m = _NAME_RE.match(pathlib.Path(name).name)
+    if not m:
+        raise ValueError(f"not an initdrop fixture name: {name}")
+    d = m.groupdict()
+    return {
+        "kind": d["kind"], "R": float(d["R"]), "nx": int(d["nx"]),
+        "ny": int(d["ny"]), "a": float(d["a"]), "epsilon": float(d["eps"]),
+        "alpha": float(d["alpha"]), "gamma": float(d["gamma"]),
+        "mackenzie_c": float(d["C"]),
+    }
+
+
+def load(path: str | pathlib.Path) -> DropletFixture:
+    path = pathlib.Path(path)
+    meta = parse_name(path.name)
+    data = np.loadtxt(path)
+    n = meta["nx"] * meta["ny"]
+    if data.shape != (n, 2):
+        raise ValueError(
+            f"{path.name}: expected {n} lines of (u, q), got {data.shape}"
+        )
+    shape = (meta["ny"], meta["nx"])
+    return DropletFixture(
+        u=data[:, 0].reshape(shape), q=data[:, 1].reshape(shape), **meta
+    )
+
+
+def config_for(fix: DropletFixture):
+    """DropletConfig matching a fixture's encoded parameters (fixing the
+    reference pitfall of silently loading a state under mismatched globals —
+    SURVEY.md §5.4)."""
+    from ..models.droplet import DropletConfig
+
+    return DropletConfig(
+        R=fix.R, a=fix.a, epsilon=fix.epsilon, nx=fix.nx, ny=fix.ny,
+        alpha=fix.alpha, gamma=fix.gamma, mackenzie_c=fix.mackenzie_c,
+    )

@@ -1,0 +1,318 @@
+"""Thin-film droplet spreading/coalescence on an adaptive moving mesh.
+
+TPU-native form of the reference's flagship workload droplet.py (SURVEY.md
+§2.7, §3.1): lubrication PDE
+
+    dh/dt = div( h^3/3 grad p ),   p = -lap h + Pi(h) + Bo cos(a) h
+
+in curvilinear form on the PMA mesh, with disjoining pressure
+``Pi(h) = (n-1)(m-1) [(eps/h)^m - (eps/h)^n] / (2 eps (n-m))``, quasi-static
+droplet seeding/inflation, Crank–Nicolson JFNK time stepping, the asymptotic
+radius law, and mesh-quality diagnostics.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.grid import Grid2D
+from ..ops import curvilinear, stencils
+from ..ops.curvilinear import MeshGeometry
+from ..meshmove.pma import PMAParams, solve_pma, loop_pma
+from ..meshmove.monitor import smooth_and_regularise
+from ..solvers.newton import NewtonKrylov
+
+
+@dataclasses.dataclass(frozen=True)
+class DropletConfig:
+    """Reference globals droplet.py:22-57."""
+
+    # physics
+    R: float = 1.0            # droplet radius
+    a: float = 100.0          # interface sharpness of the seeding profile
+    epsilon: float = 1e-2     # precursor-film thickness
+    n_exp: int = 6            # disjoining-pressure exponents
+    m_exp: int = 3
+    Bo: float = 0.01          # Bond number
+    incline: float = 0.0      # alpha2_: substrate inclination angle
+
+    # grid
+    nx: int = 91
+    ny: int = 61
+    xl: float = -3.0
+    xr: float = 6.0
+    yb: float = -3.0
+    yt: float = 3.0
+
+    # mesh adaptivity (droplet.py:41-45)
+    alpha: float = 0.01
+    gamma: float = 0.1
+    mackenzie_c: float = 0.15
+    dtmesh: float = 1e-7
+    smoothing_iters: int = 4
+
+    @property
+    def grid(self) -> Grid2D:
+        return Grid2D(nx=self.nx, ny=self.ny, xl=self.xl, xr=self.xr,
+                      yb=self.yb, yt=self.yt)
+
+    @property
+    def pma(self) -> PMAParams:
+        return PMAParams(alpha=self.alpha, gamma=self.gamma,
+                         mackenzie_c=self.mackenzie_c,
+                         smoothing_iters=self.smoothing_iters)
+
+    @property
+    def epsilon2(self) -> float:
+        """Thickness/extent ratio Ho/Lo (droplet.py:53: 1/Dy)."""
+        return 1.0 / (self.yt - self.yb)
+
+
+# -- physics -----------------------------------------------------------------
+
+def disjoining_pressure(h, cfg: DropletConfig):
+    """Pi(h) (droplet.py:462-466)."""
+    n, m, eps = cfg.n_exp, cfg.m_exp, cfg.epsilon
+    r = eps / h
+    return (n - 1) * (m - 1) * (r ** m - r ** n) / (2.0 * eps * (n - m))
+
+
+def pressure(h, hxx, hyy, cfg: DropletConfig):
+    """p = -lap h + Pi(h) + Bo cos(a) h (droplet.py:468-473)."""
+    return -(hxx + hyy) + disjoining_pressure(h, cfg) + (
+        cfg.Bo * np.cos(cfg.incline)
+    ) * h
+
+
+def _flux_divergence(p_dx, p_dy, h, geom: MeshGeometry, grid: Grid2D,
+                     cfg: DropletConfig):
+    """div( h^3/3 (grad p - driving) ) in curvilinear form
+    (droplet.py:446-449, 456-459)."""
+    drive = cfg.Bo * np.sin(cfg.incline) / cfg.epsilon2
+    h3 = h ** 3 / 3.0
+    A = (p_dx - drive) * h3
+    B = p_dy * h3
+    a_ksi = stencils.d1_x(A, grid.dx)
+    a_eta = stencils.d1_y(A, grid.dy)
+    b_ksi = stencils.d1_x(B, grid.dx)
+    b_eta = stencils.d1_y(B, grid.dy)
+    return (geom.yy * a_ksi - geom.xy * a_eta
+            - geom.xy * b_ksi + geom.xx * b_eta) / geom.jac
+
+
+def pressure_grad_xy(p, geom: MeshGeometry, grid: Grid2D):
+    """Physical-space pressure gradient with dp/dn = 0 on the boundary
+    (droplet.py:683-694)."""
+    p_ksi = stencils.d1_x(p, grid.dx)
+    p_eta = stencils.d1_y(p, grid.dy)
+    p_ksi = p_ksi.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    p_eta = p_eta.at[0, :].set(0.0).at[-1, :].set(0.0)
+    return curvilinear.grad_xy(p_ksi, p_eta, geom)
+
+
+def pde_rhs(h, geom: MeshGeometry, cfg: DropletConfig):
+    """Explicit dh/dt at the current state (droplet.py:452-460), evaluating
+    the pressure from the quirk-BC'd solution derivatives as the reference
+    driver does (droplet.py:375-381)."""
+    grid = cfg.grid
+    h_ksi, h_eta = curvilinear.grad_ksi_neumann(h, grid, quirk=True)
+    hxx, hyy = curvilinear.laplace(h, h_ksi, h_eta, geom, grid)
+    p = pressure(h, hxx, hyy, cfg)
+    p_dx, p_dy = pressure_grad_xy(p, geom, grid)
+    return _flux_divergence(p_dx, p_dy, h, geom, grid, cfg)
+
+
+def cn_residual(u, u_old, F, dt, geom: MeshGeometry, cfg: DropletConfig):
+    """Crank–Nicolson residual (droplet.py:435-450).
+
+    Note the reference form is NOT divided by dt:
+    ``F(u) = (u - u_old) - dt (F2(u) + F)/2``.
+    Inside the residual the Laplacian uses *raw* computational derivatives
+    of u (droplet.py:437), unlike the driver-side ``pde_rhs``.
+    """
+    grid = cfg.grid
+    u_ksi = stencils.d1_x(u, grid.dx)
+    u_eta = stencils.d1_y(u, grid.dy)
+    u_xx, u_yy = curvilinear.laplace(u, u_ksi, u_eta, geom, grid)
+    p = pressure(u, u_xx, u_yy, cfg)
+    p_dx, p_dy = pressure_grad_xy(p, geom, grid)
+    F2 = _flux_divergence(p_dx, p_dy, u, geom, grid, cfg)
+    return (u - u_old) - dt * (F2 + F) / 2.0
+
+
+def monitor_source(u, geom: MeshGeometry, grid: Grid2D):
+    """mon = |u_xx + u_yy|^2 with the reference's quirk BCs
+    (droplet.py:729-736 via compute_u_spatial_ders)."""
+    u_ksi, u_eta = curvilinear.grad_ksi_neumann(u, grid, quirk=True)
+    uxx, uyy = curvilinear.laplace(u, u_ksi, u_eta, geom, grid)
+    return jnp.abs(uxx + uyy) ** 2
+
+
+# -- droplet seeding ---------------------------------------------------------
+
+def seed_profile(r, R, cfg: DropletConfig):
+    """G(r) (droplet.py:425-426/551): smoothed distance-to-contact-line."""
+    a = cfg.a
+    return R + jnp.log(
+        (1.0 + jnp.exp(-2.0 * a * (r + R))) / (1.0 + jnp.exp(-2.0 * a * (r - R)))
+    ) / (2.0 * a)
+
+
+def seed_height(psi, R, V):
+    """H(psi) (droplet.py:428-429/547-548): parabolic cap of volume ~V."""
+    return 4.0 * V * (1.0 - psi * psi / (R * R)) / (R * R)
+
+
+def seeded_solution(geom: MeshGeometry, cfg: DropletConfig,
+                    drops: Sequence[tuple[float, float, float, float]]):
+    """Multi-droplet quasi-static solution on the current mesh
+    (compute_U2, droplet.py:413-423).  ``drops`` entries: (x, y, R, V)."""
+    u = jnp.full(geom.x.shape, cfg.epsilon, geom.x.dtype)
+    for (x0, y0, R, V) in drops:
+        r = jnp.sqrt((geom.x - x0) ** 2 + (geom.y - y0) ** 2)
+        u = u + (1.0 - cfg.epsilon) * seed_height(seed_profile(r, R, cfg), R, V)
+    return u
+
+
+def asymptotic_radius_ode(r, t, cfg: DropletConfig):
+    """dR/dt of the asymptotic spreading law (asympode, droplet.py:431-433)."""
+    lam = cfg.epsilon * 4.06522
+    return (512.0 / r ** 9 - 1.0) / (3.0 * jnp.log(0.5 * r / lam) - 3.0)
+
+
+def rdot(R, V, cfg: DropletConfig):
+    """Explicit radius law (droplet.py:553-554)."""
+    return (8.0 * V / R ** 3 - 1.0) / (3.0 * np.log(1.0 / cfg.epsilon))
+
+
+# -- drivers -----------------------------------------------------------------
+
+def initial_mesh_potential(cfg: DropletConfig, dtype=jnp.float64):
+    """Q = (ksi^2 + eta^2)/2 — identity mesh (droplet.py:103)."""
+    grid = cfg.grid
+    return 0.5 * (jnp.asarray(grid.xx, dtype) ** 2
+                  + jnp.asarray(grid.yy, dtype) ** 2)
+
+
+def inflate(cfg: DropletConfig, drops, vsteps: int, dtmesh: float,
+            pma_loops: int, q0=None, dtype=jnp.float64):
+    """Quasi-static inflation (initialise_coalescing_droplets,
+    droplet.py:152-183): ramp the drop volumes over ``vsteps`` while
+    sub-iterating the PMA mesh; one fused jit for the whole ramp."""
+    grid = cfg.grid
+    if q0 is None:
+        q0 = initial_mesh_potential(cfg, dtype)
+    drops = np.asarray(drops, dtype=np.float64)  # (ndrops, 4): x, y, R, Vf
+    mon_src = lambda u, geom, g: monitor_source(u, geom, g)
+
+    def body(i, carry):
+        # reference ordering (droplet.py:156-167): the seeded solution for
+        # volume step i is computed on the pre-PMA mesh, while the PMA
+        # sub-loop's monitor uses the *previous* volume step's solution
+        # (U.val lags U.new by one outer iteration).
+        q, u_prev = carry
+        geom = curvilinear.mesh_geometry(q, grid)
+        frac = (i + 1).astype(q.dtype) / vsteps
+        u_new = jnp.full(grid.shape, cfg.epsilon, q.dtype)
+        for di in range(drops.shape[0]):
+            x0, y0, R, vf = (float(drops[di, 0]), float(drops[di, 1]),
+                             float(drops[di, 2]), float(drops[di, 3]))
+            r = jnp.sqrt((geom.x - x0) ** 2 + (geom.y - y0) ** 2)
+            u_new = u_new + (1.0 - cfg.epsilon) * seed_height(
+                seed_profile(r, R, cfg), R, vf * frac
+            )
+        q_new = loop_pma(q, u_prev, dtmesh, pma_loops, grid, cfg.pma, mon_src)
+        return (q_new, u_new)
+
+    q, u = lax.fori_loop(
+        0, vsteps, body, (q0, jnp.full(grid.shape, cfg.epsilon, q0.dtype))
+    )
+    return q, u
+
+
+class DropletStepResult(NamedTuple):
+    u: jax.Array
+    q: jax.Array
+    newton_iters: jax.Array
+    f_norm: jax.Array
+    converged: jax.Array
+
+
+def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
+              solver: NewtonKrylov | None = None):
+    """One evolve_with_PDE step (droplet.py:370-384): CN/JFNK solve of the
+    physical PDE on the frozen mesh, then ``pma_loops`` explicit PMA
+    sub-steps."""
+    if solver is None:
+        # reference: newton_krylov(..., maxiter=20, f_tol=1e-7)
+        solver = NewtonKrylov(f_tol=1e-7, maxiter=20)
+    grid = cfg.grid
+    mon_src = lambda u, geom, g: monitor_source(u, geom, g)
+
+    def step(u, q, dt_n):
+        geom = curvilinear.mesh_geometry(q, grid)
+        F = pde_rhs(u, geom, cfg)
+        res = solver.solve(
+            partial(cn_residual, u_old=u, F=F, dt=dt_n, geom=geom, cfg=cfg), u
+        )
+        # reference ordering: loop_pma's monitor is driven by the *old*
+        # solution — U.val is only replaced at the top of the next step
+        # (droplet.py:373,384; compute_u_spatial_ders reads U.val)
+        q_new = loop_pma(q, u, dtmesh, pma_loops, grid, cfg.pma, mon_src)
+        return DropletStepResult(u=res.x, q=q_new, newton_iters=res.iters,
+                                 f_norm=res.f_norm, converged=res.converged)
+
+    return step
+
+
+def evolve(cfg: DropletConfig, u0, q0, dt: float, nsteps: int,
+           dtmesh: float = 3e-9, pma_loops: int = 400,
+           solver: NewtonKrylov | None = None):
+    """evolve_with_PDE (droplet.py:360-411) with the reference's adaptive
+    ``scale`` law: ``scale += exp(-10 ||u_new - u_old||_2)`` per step."""
+    step = make_step(cfg, dt, dtmesh, pma_loops, solver)
+
+    def body(carry, _):
+        u, q, scale, t = carry
+        dt_n = dt * scale
+        out = step(u, q, dt_n)
+        scale_new = scale + jnp.exp(-10.0 * jnp.sqrt(jnp.sum((out.u - u) ** 2)))
+        return (out.u, out.q, scale_new, t + dt_n), (
+            out.newton_iters, out.f_norm, dt_n
+        )
+
+    (u, q, scale, t), aux = lax.scan(
+        body, (u0, q0, jnp.asarray(1.0, u0.dtype), jnp.asarray(0.0, u0.dtype)),
+        None, length=nsteps,
+    )
+    return u, q, t, aux
+
+
+# -- mesh-quality diagnostics (droplet.py:476-542) ---------------------------
+
+def interior_spacings(geom: MeshGeometry):
+    """Per-interior-node spacings to the E, S, SE, SW neighbours
+    (compute_spacings/get_minimum_spacings, droplet.py:492-524, with the
+    intended index alignment — the reference's SE/SW expressions mix row
+    offsets between their x and y parts, a diagnostics-only quirk not
+    reproduced).  Returns an (Ny-2, Nx-2, 4) stack."""
+    xx, yy = geom.x, geom.y
+    xc, yc = xx[1:-1, 1:-1], yy[1:-1, 1:-1]
+    e = jnp.abs(xx[1:-1, 2:] - xc)
+    s = jnp.abs(yc - yy[:-2, 1:-1])
+    se = jnp.sqrt((yy[:-2, 2:] - yc) ** 2 + (xx[:-2, 2:] - xc) ** 2)
+    sw = jnp.sqrt((yy[:-2, :-2] - yc) ** 2 + (xx[:-2, :-2] - xc) ** 2)
+    return jnp.stack([e, s, se, sw], axis=-1)
+
+
+def min_spacing(geom: MeshGeometry):
+    """Minimum interior node spacing — the per-step mesh-quality diagnostic
+    printed by the reference driver (droplet.py:408-409).  Should remain of
+    order 1/a near the contact line (droplet.py:487-489)."""
+    return jnp.min(interior_spacings(geom))

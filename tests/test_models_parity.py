@@ -1,0 +1,196 @@
+"""Droplet and MEMS model parity vs reference goldens + fixture round-trips."""
+import pathlib
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from iterative_solvers_tpu.core.grid import Grid2D
+from iterative_solvers_tpu.ops import curvilinear
+from iterative_solvers_tpu.models import droplet as dp
+from iterative_solvers_tpu.models import mems
+from iterative_solvers_tpu.io import fixtures as fx
+from iterative_solvers_tpu.solvers.newton import NewtonKrylov
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+REFDIR = pathlib.Path("/root/reference/python_work")
+
+
+@pytest.fixture(scope="module")
+def drop_golden():
+    d = np.load(FIX / "golden_droplet.npz")
+    cfg = dp.DropletConfig(
+        R=float(d["R"]), a=float(d["a"]), epsilon=float(d["epsilon"]),
+        Bo=float(d["Bo"]), incline=float(d["alpha2"]),
+        nx=int(d["nx"]), ny=int(d["ny"]),
+        xl=float(d["endl"]), xr=float(d["endr"]),
+        yb=float(d["endb"]), yt=float(d["endt"]),
+        alpha=float(d["alpha"]), gamma=float(d["gamma"]),
+        mackenzie_c=float(d["C"]),
+    )
+    grid = cfg.grid
+    q = jnp.array(d["q"].reshape(grid.shape))
+    geom = curvilinear.mesh_geometry(q, grid)
+    return d, cfg, grid, q, geom
+
+
+def _2d(d, key, grid):
+    return d[key].reshape(grid.shape)
+
+
+def test_droplet_pressure(drop_golden):
+    d, cfg, grid, q, geom = drop_golden
+    u = jnp.array(_2d(d, "u", grid))
+    uxx = jnp.array(_2d(d, "u_xx", grid))
+    uyy = jnp.array(_2d(d, "u_yy", grid))
+    p = dp.pressure(u, uxx, uyy, cfg)
+    np.testing.assert_allclose(np.asarray(p), _2d(d, "p_val", grid), atol=1e-9)
+
+    p_dx, p_dy = dp.pressure_grad_xy(p, geom, grid)
+    np.testing.assert_allclose(np.asarray(p_dx), _2d(d, "p_dx", grid), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p_dy), _2d(d, "p_dy", grid), atol=1e-8)
+
+
+def test_droplet_pde_rhs(drop_golden):
+    d, cfg, grid, q, geom = drop_golden
+    u = jnp.array(_2d(d, "u", grid))
+    got = dp.pde_rhs(u, geom, cfg)
+    np.testing.assert_allclose(np.asarray(got), _2d(d, "pde_rhs", grid),
+                               rtol=1e-8, atol=1e-7)
+
+
+def test_droplet_residual(drop_golden):
+    d, cfg, grid, q, geom = drop_golden
+    u_old = jnp.array(_2d(d, "u", grid))
+    u_probe = jnp.array(_2d(d, "u_probe", grid))
+    F = jnp.array(_2d(d, "pde_rhs", grid))
+    got = dp.cn_residual(u_probe, u_old, F, 1e-4, geom, cfg)
+    np.testing.assert_allclose(np.asarray(got), _2d(d, "residual", grid),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_droplet_full_step_parity():
+    """End-to-end: one CN/JFNK step + short PMA loop from the checked-in
+    coalescence fixture matches the scipy-driven reference to 1e-6
+    (BASELINE.json parity gate)."""
+    g = np.load(FIX / "golden_droplet_step.npz")
+    fixture = fx.load(REFDIR / "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt")
+    cfg = fx.config_for(fixture)
+    assert cfg.epsilon == 0.005
+    grid = cfg.grid
+
+    u = jnp.array(fixture.u)
+    q = jnp.array(fixture.q)
+    geom = curvilinear.mesh_geometry(q, grid)
+    F = dp.pde_rhs(u, geom, cfg)
+    np.testing.assert_allclose(np.asarray(F), g["F"].reshape(grid.shape),
+                               rtol=1e-7, atol=1e-7)
+
+    step = dp.make_step(cfg, dt=float(g["dt"]), dtmesh=3e-9, pma_loops=5)
+    out = step(u, q, float(g["dt"]))
+    assert bool(out.converged)
+    np.testing.assert_allclose(
+        np.asarray(out.u), g["u_new"].reshape(grid.shape), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.q), g["q_new"].reshape(grid.shape), atol=1e-8
+    )
+    # diagnostic-level agreement only: the reference's SE/SW spacing
+    # expressions mix row offsets (droplet.py:513-517 quirk, not reproduced)
+    got_spc = float(dp.min_spacing(curvilinear.mesh_geometry(out.q, grid)))
+    assert abs(got_spc - float(g["min_spacing"])) / float(g["min_spacing"]) < 0.05
+
+
+def test_droplet_seeding_volume():
+    """Seeded droplet encloses approximately the requested volume."""
+    cfg = dp.DropletConfig()
+    grid = cfg.grid
+    q = dp.initial_mesh_potential(cfg)
+    geom = curvilinear.mesh_geometry(q, grid)
+    u = dp.seeded_solution(geom, cfg, [(0.0, 0.0, 1.0, 1.0)])
+    vol = float(jnp.sum(u - cfg.epsilon) * grid.dx * grid.dy)
+    # H(psi) = 4V(1 - psi^2/R^2)/R^2 integrates to 2*pi*V over the disc
+    assert abs(vol - 2 * np.pi) / (2 * np.pi) < 0.05
+
+
+# -- MEMS --------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mems_golden():
+    d = np.load(FIX / "golden_pma2.npz")
+    cfg = mems.MEMSConfig(
+        n=int(d["n"]), p=int(d["p"]), m=int(d["m"]),
+        beta=float(d["beta"]), lambd=float(d["lambd"]),
+        epsilon=float(d["epsilon"]), alpha=float(d["alpha"]),
+        gamma=float(d["gamma"]),
+    )
+    grid = cfg.grid
+    q = jnp.array(d["q"].reshape(grid.shape))
+    geom = curvilinear.mesh_geometry(q, grid)
+    return d, cfg, grid, q, geom
+
+
+def test_mems_rhs(mems_golden):
+    d, cfg, grid, q, geom = mems_golden
+    u = jnp.array(_2d(d, "u", grid))
+    got = mems.rhs_pde(u, geom, cfg)
+    np.testing.assert_allclose(np.asarray(got), _2d(d, "cn_term", grid),
+                               rtol=1e-8, atol=1e-6)
+
+
+def test_mems_residual(mems_golden):
+    d, cfg, grid, q, geom = mems_golden
+    u_old = jnp.array(_2d(d, "u", grid))
+    u_probe = jnp.array(_2d(d, "u_probe", grid))
+    cn = jnp.array(_2d(d, "cn_term", grid))
+    got = mems.cn_residual(u_probe, u_old, cn, float(d["dt"]), geom, cfg)
+    np.testing.assert_allclose(np.asarray(got), _2d(d, "residual", grid),
+                               rtol=1e-8, atol=1e-5)
+
+
+def test_mems_compute_g(mems_golden):
+    d, cfg, grid, q, geom = mems_golden
+    u = jnp.array(_2d(d, "u", grid))
+    assert abs(float(mems.compute_g(u, cfg)) - float(d["g"])) < 1e-12
+
+
+def test_mems_touchdown_run():
+    """Short touchdown evolution: u_min decreases monotonically toward -1,
+    dt shrinks (the adaptive compute_g law), mesh stays valid."""
+    cfg = mems.MEMSConfig(k=1e-3)
+    solver = NewtonKrylov(f_tol=1e-9, maxiter=40)
+    u, q, t, dts, iters = mems.evolve(cfg, nsteps=8, solver=solver)
+    u_np = np.asarray(u)
+    # interior deflection rate ~ -lambda: after 8 steps of ~1e-3, ~-8e-3
+    assert u_np.min() < -0.005         # membrane deflecting downward
+    assert u_np.min() > -1.0           # no touchdown yet
+    assert np.all(np.diff(np.asarray(dts)) <= 1e-12)  # dt non-increasing
+    geom = curvilinear.mesh_geometry(q, cfg.grid)
+    assert float(jnp.min(geom.jac)) > 0  # mesh untangled
+
+
+# -- fixtures io -------------------------------------------------------------
+
+def test_all_reference_fixtures_load():
+    names = sorted(REFDIR.glob("initdrop_*.txt"))
+    assert len(names) == 14
+    for p in names:
+        f = fx.load(p)
+        assert f.u.shape == (f.ny, f.nx)
+        assert np.isfinite(f.u).all() and np.isfinite(f.q).all()
+        assert f.u.min() > 0  # film thickness positive
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from iterative_solvers_tpu.io import checkpoint as ck
+
+    cfg = dp.DropletConfig()
+    u = np.random.default_rng(0).standard_normal((4, 5))
+    ck.save(tmp_path / "s.npz", {"u": u}, config=cfg, step=7, time=0.25)
+    arrays, meta = ck.load(tmp_path / "s.npz", config=cfg)
+    np.testing.assert_array_equal(arrays["u"], u)
+    assert meta["step"] == 7 and meta["time"] == 0.25
+
+    bad = dp.DropletConfig(epsilon=0.005)
+    with pytest.raises(ck.CheckpointMismatch):
+        ck.load(tmp_path / "s.npz", config=bad)

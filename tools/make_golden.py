@@ -138,6 +138,45 @@ def golden_pma2():
     print("pma2 golden written")
 
 
+def golden_droplet_step():
+    """One full evolve_with_PDE step (scipy newton_krylov + short PMA loop)
+    from the checked-in coalescence fixture — the end-to-end oracle."""
+    from scipy.optimize import newton_krylov
+
+    d = load_patched("droplet.py", {"plot3d_bool = True": "plot3d_bool = False"})
+    d["epsilon_"] = 0.005  # fixture initdrop_coal_1_91-61_100_0.005_...
+    ny, nx, nn = d["Ny_"], d["Nx_"], d["NN_"]
+    Q, U, P = d["Q"], d["U"], d["P"]
+
+    fix = np.loadtxt(REF / "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt")
+    U.val = fix[:, 0].copy()
+    U.new = U.val.copy()
+    Q.val = fix[:, 1].copy()
+    d["make_Ibdy"]()
+    d["make_M"]()
+
+    dt_n = 1e-5  # dt where the scipy oracle converges cleanly (3 Newton iters)
+    d["compute_Q_spatial_ders"]()
+    d["J"] = Q.d2ksi * Q.d2eta - Q.dksideta ** 2
+    d["compute_u_spatial_ders"]()
+    P.val = d["pressure"](U.val, U.xx, U.yy)
+    d["compute_P_spatial_ders"]()
+    F = d["pde_rhs"](U.val, U.xx, U.yy)
+    u_new = newton_krylov(lambda u: d["residual"](u, F, dt_n), U.val,
+                          maxiter=20, f_tol=1e-7)
+    d["loop_pma"](3e-9, 5)  # shortened sub-loop for test runtime
+    min_spc = d["get_minimum_spacings"]().min()
+
+    np.savez(
+        OUT / "golden_droplet_step.npz",
+        u_old=fix[:, 0], q_old=fix[:, 1],
+        F=F, u_new=u_new, q_new=Q.val, dt=dt_n,
+        min_spacing=min_spc, ny=ny, nx=nx,
+    )
+    print("droplet full-step golden written")
+
+
 if __name__ == "__main__":
     golden_droplet()
     golden_pma2()
+    golden_droplet_step()
