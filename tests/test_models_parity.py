@@ -173,7 +173,7 @@ def test_mems_touchdown_run():
 
 def test_all_reference_fixtures_load():
     names = sorted(REFDIR.glob("initdrop_*.txt"))
-    assert len(names) == 14
+    assert len(names) == 15
     for p in names:
         f = fx.load(p)
         assert f.u.shape == (f.ny, f.nx)
