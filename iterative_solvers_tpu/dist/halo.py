@@ -1,0 +1,134 @@
+"""Halo exchange and sharded stencil operators (shard_map + ppermute).
+
+The reference caps at 91x61 grids because everything is dense-in-memory and
+serial (SURVEY.md §5.7).  The TPU-native scaling layer is 2-D domain
+decomposition over a ``jax.sharding.Mesh``: each device owns a block of the
+``(Ny, Nx)`` grid and stencil application exchanges a fixed-width halo with
+its mesh neighbours via ``lax.ppermute`` (neighbour-ring traffic over ICI —
+the same communication pattern ring attention uses), while Krylov inner
+products reduce with ``psum``.
+
+Two distribution styles are provided and tested against each other:
+
+1. **GSPMD (implicit)** — run the ordinary global-array ops under ``jit``
+   with ``NamedSharding``; XLA's SPMD partitioner inserts the
+   collective-permutes itself.  Zero code changes, good default.
+2. **shard_map (explicit)** — the functions here: manual halo exchange with
+   explicit widths, giving control over comm aggregation (exchange once for
+   a fused double-Laplacian instead of twice) and overlap.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.4.35
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
+
+
+def _ring_perm(n: int, shift: int):
+    """Source->dest pairs sending each shard's data to its +shift neighbour."""
+    return [(i, (i + shift) % n) for i in range(n)]
+
+
+def halo_exchange_1d(block, width: int, axis_name: str, *, axis: int = 0,
+                     periodic: bool = True):
+    """Exchange ``width`` rows (axis=0) or columns (axis=1) with the two
+    neighbours along mesh axis ``axis_name``.
+
+    Returns ``(lo_halo, hi_halo)`` — the ghost strips that belong *before*
+    and *after* this shard's block.  For non-periodic axes, the global edge
+    shards receive zeros (callers overwrite edge values with one-sided
+    formulas anyway).
+    """
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        if periodic:
+            lo = lax.slice_in_dim(block, block.shape[axis] - width,
+                                  block.shape[axis], axis=axis)
+            hi = lax.slice_in_dim(block, 0, width, axis=axis)
+            return lo, hi
+        zeros = jnp.zeros_like(lax.slice_in_dim(block, 0, width, axis=axis))
+        return zeros, zeros
+
+    idx = lax.axis_index(axis_name)
+    top = lax.slice_in_dim(block, block.shape[axis] - width,
+                           block.shape[axis], axis=axis)
+    bot = lax.slice_in_dim(block, 0, width, axis=axis)
+    # my top strip becomes my +1 neighbour's lo halo; my bottom strip becomes
+    # my -1 neighbour's hi halo
+    lo = lax.ppermute(top, axis_name, _ring_perm(n, 1))
+    hi = lax.ppermute(bot, axis_name, _ring_perm(n, -1))
+    if not periodic:
+        lo = jnp.where(idx == 0, jnp.zeros_like(lo), lo)
+        hi = jnp.where(idx == n - 1, jnp.zeros_like(hi), hi)
+    return lo, hi
+
+
+def with_halo(block, width: int, axis_names: tuple[str, str],
+              periodic: bool = True):
+    """Extend a 2-D block with ``width`` ghost cells on all four sides
+    (corners filled by exchanging the already-extended columns)."""
+    ay, ax = axis_names
+    lo_y, hi_y = halo_exchange_1d(block, width, ay, axis=0, periodic=periodic)
+    ext = jnp.concatenate([lo_y, block, hi_y], axis=0)
+    lo_x, hi_x = halo_exchange_1d(ext, width, ax, axis=1, periodic=periodic)
+    return jnp.concatenate([lo_x, ext, hi_x], axis=1)
+
+
+def _lap_core(ext, inv_h2):
+    """5-point Laplacian of the core region of a 1-cell-extended block."""
+    return (
+        ext[:-2, 1:-1] + ext[2:, 1:-1] + ext[1:-1, :-2] + ext[1:-1, 2:]
+        - 4.0 * ext[1:-1, 1:-1]
+    ) * inv_h2
+
+
+def sharded_lap_periodic(u, h: float, mesh: Mesh,
+                         axis_names: tuple[str, str] = ("y", "x")):
+    """Periodic 5-point Laplacian over a 2-D device mesh (explicit halos)."""
+    inv_h2 = 1.0 / (h * h)
+    spec = P(*axis_names)
+
+    def local(block):
+        ext = with_halo(block, 1, axis_names, periodic=True)
+        return _lap_core(ext, inv_h2)
+
+    return shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec)(u)
+
+
+def sharded_sh_operator(u, h: float, r: float, mesh: Mesh,
+                        axis_names: tuple[str, str] = ("y", "x")):
+    """Swift–Hohenberg L = -Lap^2 - 2 Lap + (r-1) I with ONE width-2 halo
+    exchange feeding the fused double Laplacian (vs two width-1 exchanges) —
+    the comm-aggregation trick the explicit path exists for."""
+    inv_h2 = 1.0 / (h * h)
+    spec = P(*axis_names)
+
+    def local(block):
+        ext = with_halo(block, 2, axis_names, periodic=True)   # one exchange
+        lap1 = _lap_core(ext, inv_h2)                           # core+1 ring
+        lap2 = _lap_core(lap1, inv_h2)                          # core
+        return -lap2 - 2.0 * lap1[1:-1, 1:-1] + (r - 1.0) * block
+
+    return shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec)(u)
+
+
+def pdot(a, b, axis_names):
+    """Distributed inner product for use *inside* shard_map bodies."""
+    return lax.psum(jnp.sum(a * b), axis_names)
+
+
+def grid_sharding(mesh: Mesh, axis_names: tuple[str, str] = ("y", "x")):
+    return NamedSharding(mesh, P(*axis_names))
+
+
+def shard_field(u, mesh: Mesh, axis_names: tuple[str, str] = ("y", "x")):
+    """Place a (Ny, Nx) field block-partitioned over the mesh."""
+    return jax.device_put(u, grid_sharding(mesh, axis_names))
