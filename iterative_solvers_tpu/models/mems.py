@@ -176,6 +176,35 @@ def initial_state(cfg: MEMSConfig, dtype=jnp.float64):
     return u, q
 
 
+def coupled_rhs(t, y, cfg: MEMSConfig):
+    """Method-of-lines RHS of the *coupled* (u, Q) system — the PMA.py
+    formulation (ode_coupled_systems, PMA.py:377-415): mesh and solution
+    evolve as one stiff ODE system.  ``y`` stacks [u, q] as (2, n, n)."""
+    grid = cfg.grid
+    u, q = y[0], y[1]
+    geom = curvilinear.mesh_geometry(q, grid)
+    src = monitor_source(u, geom, grid, cfg)
+    mon = smooth_and_regularise(src, geom.jac, grid.dx, grid.dy,
+                                cfg.smoothing_iters, 1.0)
+    dqdt = solve_pma(mon, geom.jac, grid, cfg.pma)
+    dudt = rhs_pde(u, geom, cfg)
+    return jnp.stack([dudt, dqdt])
+
+
+def evolve_coupled(cfg: MEMSConfig, tf: float, bdf=None, u0=None, q0=None):
+    """Integrate the coupled system to ``tf`` with the adaptive BDF/JFNK
+    integrator (the reference hands it to scipy's BDF — PMA.py:68)."""
+    from ..solvers.bdf import BDF
+
+    if bdf is None:
+        bdf = BDF()
+    if u0 is None or q0 is None:
+        u0, q0 = initial_state(cfg)
+    y0 = jnp.stack([u0, q0])
+    res = bdf.solve(partial(coupled_rhs, cfg=cfg), y0, 0.0, tf)
+    return res.y[0], res.y[1], res
+
+
 def evolve(cfg: MEMSConfig, nsteps: int, solver: NewtonKrylov | None = None,
            u0=None, q0=None):
     """Fixed-step-count evolution under one jit (time horizon emerges from
