@@ -62,6 +62,38 @@ def cn_residual(u, u_old, L_uold, cfg: SHConfig):
     return (u - u_old) / cfg.k - (rhs_new + rhs_old) / 2.0
 
 
+def jacobian_matvec_factory(cfg: SHConfig, inner_dtype=None):
+    """Analytic Jacobian of the CN residual for NewtonKrylov.matvec_factory:
+
+    ``J v = v/k - (L v + (2 g u - 3 u^2) v) / 2`` — exact, linear in v, and
+    evaluated entirely in the inner (f32) dtype on TPU.
+    """
+
+    def factory(x, fx):
+        coef = 2.0 * cfg.g * x - 3.0 * x * x
+        if inner_dtype is not None:
+            coef = coef.astype(inner_dtype)
+
+        def mv(v):
+            return v / cfg.k - (apply_L(v, cfg) + coef * v) / 2.0
+
+        return mv
+
+    return factory
+
+
+def fast_solver(cfg: SHConfig, f_tol: float = 6e-6, inner_m: int = 10,
+                outer_k: int = 5) -> NewtonKrylov:
+    """TPU-tuned JFNK for the SH workload: analytic f32 Jacobian matvecs +
+    f32 inner Krylov, f64 outer residuals — converges to the same f_tol with
+    the same Newton counts as the pure-f64 scipy-parity configuration."""
+    return NewtonKrylov(
+        f_tol=f_tol, inner_m=inner_m, outer_k=outer_k,
+        inner_dtype="float32",
+        matvec_factory=jacobian_matvec_factory(cfg, "float32"),
+    )
+
+
 def make_cn_step(cfg: SHConfig, solver: NewtonKrylov | None = None):
     """Returns a jittable ``step(u_old) -> (u_new, NewtonResult)``."""
     if solver is None:

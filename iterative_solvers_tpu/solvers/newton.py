@@ -70,6 +70,19 @@ class NewtonKrylov:
     jvp_mode: str = "fd"               # "fd" (scipy-parity) | "exact" (jax.jvp)
     line_search: bool = True
     max_backtracks: int = 8
+    inner_dtype: str | None = None     # e.g. "float32": run the LGMRES cycle
+    # in reduced precision while residual/JVP evaluations stay in the state
+    # dtype.  Inexact-Newton theory needs only ~forcing-tolerance-accurate
+    # directions, and f64 is emulated on TPU — this keeps the O(m^2 n)
+    # orthogonalisation work native-speed without touching convergence of
+    # the outer (full-precision) residual.
+    matvec_factory: Callable | None = None
+    # Optional analytic Jacobian: ``matvec_factory(x, fx) -> (v -> J v)``,
+    # evaluated in the *inner* dtype.  When the model can express J·v in
+    # closed form (e.g. Swift–Hohenberg: J v = v/k - (L v + (2gu - 3u^2)v)/2)
+    # this removes every full-precision residual evaluation from the Krylov
+    # loop — the fastest path on TPU.  Compared statically; the dataclass
+    # stays hashable because functions hash by identity.
 
     def solve(self, residual: Callable, x0: jax.Array, *args) -> NewtonResult:
         """Solve ``residual(x, *args) = 0`` starting from ``x0``.
@@ -78,6 +91,9 @@ class NewtonKrylov:
         ``args`` are closed over statically for the lax loop).
         """
         dtype = x0.dtype
+        inner_dt = jnp.dtype(self.inner_dtype) if self.inner_dtype else None
+        if inner_dt == dtype:
+            inner_dt = None
         eps = float(np.finfo(np.dtype(dtype)).eps)
         f_tol = jnp.asarray(
             self.f_tol if self.f_tol is not None else float(np.finfo(np.float64).eps) ** (1 / 3),
@@ -135,14 +151,22 @@ class NewtonKrylov:
             f_norm = _maxnorm(fx)
 
             # inner solve: one lgmres cycle on J dx = -F with recycled vectors
-            mv = partial(matvec_at, x, fx)
-            rhs = -fx
+            if self.matvec_factory is not None:
+                mv = self.matvec_factory(x, fx)
+                rhs = (-fx).astype(inner_dt) if inner_dt is not None else -fx
+            elif inner_dt is not None:
+                mv = lambda v: matvec_at(x, fx, v.astype(dtype)).astype(inner_dt)
+                rhs = (-fx).astype(inner_dt)
+            else:
+                mv = partial(matvec_at, x, fx)
+                rhs = -fx
             rnorm = _norm(rhs)
-            tol_inner = jnp.minimum(eta, eta * rnorm) * rnorm
+            tol_inner = (jnp.minimum(eta, eta * rnorm) * rnorm).astype(rhs.dtype)
             dx, _, inner_j, rec = _lgmres_cycle(
-                mv, lambda v: v, jnp.zeros_like(x), rhs, rnorm,
+                mv, lambda v: v, jnp.zeros_like(rhs), rhs, rnorm,
                 tol_inner, self.inner_m, rec, store_av=False,
             )
+            dx = dx.astype(dtype)
 
             if self.line_search:
                 s, fx_new, ls_evals = armijo(x, dx, _norm(fx) ** 2)
@@ -179,7 +203,8 @@ class NewtonKrylov:
             )
 
         fx0 = func(x0)
-        rec0 = init_recycle(x0.shape, self.outer_k, dtype)
+        rec0 = init_recycle(x0.shape, self.outer_k,
+                            inner_dt if inner_dt is not None else dtype)
         init_done = _maxnorm(fx0) <= f_tol
         state = (
             x0, fx0, _maxnorm(fx0), jnp.asarray(1e-3, dtype), rec0,
