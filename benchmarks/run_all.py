@@ -1,0 +1,211 @@
+"""Full benchmark suite vs BASELINE.md (one JSON line per metric).
+
+Run on the TPU: ``python benchmarks/run_all.py``.  All timings use the
+marginal-cost methodology of bench.py (chained work under one jit, host
+fetch to synchronise, short-vs-long subtraction to cancel the harness's
+fixed per-dispatch overhead).
+
+Baselines (BASELINE.md, survey host CPU):
+  sh64_step            43 ms/step        (scipy newton_krylov)
+  droplet_residual     1.6 ms/eval       (91x61)
+  pma_loop_iter        2.1 ms/iter       (91x61, droplet monitor chain)
+  poisson_999          51.6 s            (spsolve, 999^2 unknowns)
+"""
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+
+def marginal_ms(make_fn, k_short, k_long, reps=3):
+    """Marginal per-unit time of ``make_fn(k)`` returning a jitted callable
+    whose output is reduced to a scalar for synchronisation."""
+
+    def run(k):
+        f = make_fn(k)
+        float(f())  # warmup
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f())
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_s, t_l = run(k_short), run(k_long)
+    return 1000.0 * (t_l - t_s) / (k_long - k_short)
+
+
+def emit(metric, value, unit, baseline=None):
+    rec = {"metric": metric, "value": round(value, 4), "unit": unit}
+    if baseline is not None:
+        rec["vs_baseline"] = round(baseline / value, 2)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_sh_step():
+    from iterative_solvers_tpu.models.swift_hohenberg import (
+        SHConfig, evolve_cn, fast_solver,
+    )
+
+    cfg = SHConfig(n=64)
+    solver = fast_solver(cfg, f_tol=6e-6, inner_m=10, outer_k=5)
+    u0 = jnp.array(np.random.default_rng(0).standard_normal((64, 64)))
+
+    def make(k):
+        f = jax.jit(lambda: jnp.sum(evolve_cn(u0, k, cfg, solver)[0]))
+        return f
+
+    emit("sh64_cn_nk_step", marginal_ms(make, 10, 110), "ms", baseline=43.0)
+
+
+def bench_droplet_residual():
+    from iterative_solvers_tpu.io import fixtures as fx
+    from iterative_solvers_tpu.models import droplet as dp
+    from iterative_solvers_tpu.ops import curvilinear
+
+    fixture = fx.load(
+        "/root/reference/python_work/initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"
+    )
+    cfg = fx.config_for(fixture)
+    grid = cfg.grid
+    u = jnp.array(fixture.u)
+    q = jnp.array(fixture.q)
+    geom = curvilinear.mesh_geometry(q, grid)
+    F = dp.pde_rhs(u, geom, cfg)
+
+    def make(k):
+        def chain():
+            def body(i, acc):
+                r = dp.cn_residual(u + 1e-12 * acc, u, F, 1e-5, geom, cfg)
+                return acc + jnp.sum(r)
+
+            return lax.fori_loop(0, k, body, jnp.float64(0.0))
+
+        return jax.jit(chain)
+
+    emit("droplet_residual_eval_91x61", marginal_ms(make, 20, 220), "ms",
+         baseline=1.6)
+
+
+def bench_pma_loop():
+    from iterative_solvers_tpu.io import fixtures as fx
+    from iterative_solvers_tpu.models import droplet as dp
+    from iterative_solvers_tpu.meshmove.pma import loop_pma
+
+    fixture = fx.load(
+        "/root/reference/python_work/initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"
+    )
+    cfg = fx.config_for(fixture)
+    grid = cfg.grid
+    u = jnp.array(fixture.u)
+    q = jnp.array(fixture.q)
+    mon = lambda uu, geom, g: dp.monitor_source(uu, geom, g)
+
+    def make(k):
+        return jax.jit(
+            lambda: jnp.sum(loop_pma(q, u, 3e-9, k, grid, cfg.pma, mon))
+        )
+
+    emit("pma_loop_iter_91x61", marginal_ms(make, 20, 120), "ms", baseline=2.1)
+
+
+def bench_poisson():
+    from iterative_solvers_tpu.models import poisson
+
+    n = 1000
+    t0 = time.perf_counter()
+    u = poisson.solve_direct(n)
+    q = float(poisson.flow_rate(u, 1.0 / n))
+    t_first = time.perf_counter() - t0  # includes compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        u = poisson.solve_direct(n)
+        q = float(poisson.flow_rate(u, 1.0 / n))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    q_exact = poisson.flow_rate_exact()
+    assert abs(q - q_exact) / q_exact < 1e-3, (q, q_exact)
+    emit("poisson_999sq_direct_solve", 1000 * t, "ms", baseline=51600.0)
+
+
+def bench_large_sh():
+    """Large-grid SH step — the scale the reference cannot reach at all."""
+    from iterative_solvers_tpu.models.swift_hohenberg import (
+        SHConfig, evolve_cn, fast_solver,
+    )
+
+    n = 2048
+    cfg = SHConfig(n=n, d=40.0 * n / 64)  # same h as the 64^2 case
+    solver = fast_solver(cfg, f_tol=6e-6, inner_m=10, outer_k=5)
+    u0 = jnp.array(np.random.default_rng(1).standard_normal((n, n)))
+
+    def make(k):
+        return jax.jit(lambda: jnp.sum(evolve_cn(u0, k, cfg, solver)[0]))
+
+    ms = marginal_ms(make, 2, 10)
+    emit("sh2048_cn_nk_step", ms, "ms")
+    # per-dof speed vs the 64^2 baseline's per-dof cost
+    emit("sh2048_ns_per_dof_step", ms * 1e6 / (n * n), "ns")
+
+
+def bench_pallas_stencils():
+    from iterative_solvers_tpu.ops.pallas_stencil import (
+        lap_periodic_pallas, sh_operator_pallas,
+    )
+    from iterative_solvers_tpu.ops.stencils import lap_periodic, sh_linear_operator
+    from iterative_solvers_tpu.utils.roofline import device_hbm_gbps
+
+    n = 4096
+    h = 40.0 / n
+    u = jnp.array(
+        np.random.default_rng(0).standard_normal((n, n)), dtype=jnp.float32
+    )
+    bytes_min = 2 * n * n * 4
+
+    # parity gate: pallas kernels must match the XLA lowering to f32 roundoff
+    ref = np.asarray(jax.jit(lambda x: lap_periodic(x, h))(u))
+    got = np.asarray(jax.jit(lambda x: lap_periodic_pallas(x, h))(u))
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() / scale < 1e-5, "lap pallas parity"
+    ref = np.asarray(jax.jit(lambda x: sh_linear_operator(x, h, 0.01))(u))
+    got = np.asarray(jax.jit(lambda x: sh_operator_pallas(x, h, 0.01))(u))
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() / scale < 1e-5, "sh pallas parity"
+
+    for name, op in [
+        ("lap4096_xla", lambda x: lap_periodic(x, h)),
+        ("lap4096_pallas", lambda x: lap_periodic_pallas(x, h)),
+        ("sh4096_xla", lambda x: sh_linear_operator(x, h, 0.01)),
+        ("sh4096_pallas", lambda x: sh_operator_pallas(x, h, 0.01)),
+    ]:
+        def make(k, op=op):
+            def chain():
+                out = lax.fori_loop(0, k, lambda i, x: op(x) * 1e-4, u)
+                return jnp.sum(out)
+
+            return jax.jit(chain)
+
+        ms = marginal_ms(make, 25, 200)
+        gbps = bytes_min / ms / 1e6
+        emit(f"{name}_apply", ms, "ms")
+        emit(f"{name}_roofline_frac", gbps / device_hbm_gbps(), "x")
+
+
+if __name__ == "__main__":
+    bench_sh_step()
+    bench_droplet_residual()
+    bench_pma_loop()
+    bench_poisson()
+    bench_large_sh()
+    bench_pallas_stencils()

@@ -38,7 +38,7 @@ def _roll_lanes(x, shift):
     (pltpu.roll requires a non-negative shift)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.roll(x, shift=shift % x.shape[1], axis=1)
+    return pltpu.roll(x, shift=jnp.int32(shift % x.shape[1]), axis=1)
 
 
 def _load_slab(u_hbm, slab, sem, i, bm, n_rows):
@@ -54,21 +54,26 @@ def _load_slab(u_hbm, slab, sem, i, bm, n_rows):
     ng = pl.num_programs(0)
     start = pl.multiple_of(i * bm, _HALO)
     mid = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(start, bm), :], slab.at[pl.ds(_HALO, bm), :], sem.at[0]
+        u_hbm.at[pl.ds(start, bm), :], slab.at[pl.ds(_HALO, bm), :], sem.at[jnp.int32(0)]
     )
     mid.start()
+    # NB: jnp.int32 constants — Python ints lower as i64 under x64 and
+    # trigger an MLIR closed_call caching bug inside pallas kernels
     top_src = pl.multiple_of(
-        jnp.where(i == 0, n_rows - _HALO, start - _HALO), _HALO
+        jnp.where(i == 0, jnp.int32(n_rows - _HALO),
+                  start - jnp.int32(_HALO)), _HALO
     )
     top = pltpu.make_async_copy(
         u_hbm.at[pl.ds(top_src, _HALO), :], slab.at[pl.ds(0, _HALO), :],
-        sem.at[1],
+        sem.at[jnp.int32(1)],
     )
     top.start()
-    bot_src = pl.multiple_of(jnp.where(i == ng - 1, 0, start + bm), _HALO)
+    bot_src = pl.multiple_of(
+        jnp.where(i == ng - 1, jnp.int32(0), start + jnp.int32(bm)), _HALO
+    )
     bot = pltpu.make_async_copy(
         u_hbm.at[pl.ds(bot_src, _HALO), :],
-        slab.at[pl.ds(_HALO + bm, _HALO), :], sem.at[2],
+        slab.at[pl.ds(_HALO + bm, _HALO), :], sem.at[jnp.int32(2)],
     )
     bot.start()
     mid.wait()
@@ -108,7 +113,7 @@ def lap_periodic_pallas(u, h: float, block_rows: int = 128):
         kernel,
         grid=(n_rows // bm,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((bm, n_cols), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bm, n_cols), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         scratch_shapes=[
@@ -146,7 +151,7 @@ def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128):
         kernel,
         grid=(n_rows // bm,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((bm, n_cols), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bm, n_cols), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
         scratch_shapes=[

@@ -1,0 +1,61 @@
+"""Mixed-precision JFNK and analytic-Jacobian paths: same convergence as f64."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from iterative_solvers_tpu.models.swift_hohenberg import (
+    SHConfig, make_cn_step, jacobian_matvec_factory, fast_solver, cn_residual,
+    apply_L,
+)
+from iterative_solvers_tpu.solvers.newton import NewtonKrylov
+
+RNG = np.random.default_rng(31)
+
+
+@pytest.fixture(scope="module")
+def sh():
+    cfg = SHConfig(n=24)
+    u0 = jnp.array(RNG.standard_normal((cfg.n, cfg.n)))
+    return cfg, u0
+
+
+def test_inner_f32_same_convergence(sh):
+    cfg, u0 = sh
+    ref = make_cn_step(cfg, NewtonKrylov(f_tol=6e-6, inner_m=10, outer_k=5))
+    mix = make_cn_step(cfg, NewtonKrylov(f_tol=6e-6, inner_m=10, outer_k=5,
+                                         inner_dtype="float32"))
+    u_ref, r_ref = ref(u0)
+    u_mix, r_mix = mix(u0)
+    assert bool(r_ref.converged) and bool(r_mix.converged)
+    assert u_mix.dtype == jnp.float64
+    # identical Newton counts and matching solutions to the outer tolerance
+    assert abs(int(r_ref.iters) - int(r_mix.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(u_mix), np.asarray(u_ref),
+                               atol=5e-6)
+
+
+def test_analytic_jacobian_consistent_with_fd(sh):
+    """J v from the closed form == FD directional derivative (to FD error)."""
+    cfg, u0 = sh
+    v = jnp.array(RNG.standard_normal(u0.shape))
+    u_old = u0
+    L_uold = apply_L(u_old, cfg)
+
+    def F(u):
+        return cn_residual(u, u_old, L_uold, cfg)
+
+    mv = jacobian_matvec_factory(cfg)(u0, F(u0))
+    analytic = np.asarray(mv(v))
+    eps = 1e-7
+    fd = np.asarray((F(u0 + eps * v) - F(u0 - eps * v)) / (2 * eps))
+    np.testing.assert_allclose(analytic, fd, rtol=1e-5, atol=1e-5)
+
+
+def test_fast_solver_end_to_end(sh):
+    cfg, u0 = sh
+    step_fast = make_cn_step(cfg, fast_solver(cfg))
+    step_ref = make_cn_step(cfg, NewtonKrylov(f_tol=6e-6))
+    u_f, r_f = step_fast(u0)
+    u_r, r_r = step_ref(u0)
+    assert bool(r_f.converged)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_r), atol=2e-5)
