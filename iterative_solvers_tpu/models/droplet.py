@@ -294,6 +294,68 @@ def evolve(cfg: DropletConfig, u0, q0, dt: float, nsteps: int,
     return u, q, t, aux
 
 
+def asymptotic_radius_trajectory(cfg: DropletConfig, r0: float,
+                                 times: np.ndarray) -> np.ndarray:
+    """Integrate the asymptotic spreading law dR/dt (droplet.py:363-365 uses
+    scipy.odeint + cubic interpolation; here a fixed-substep RK4 on the log-
+    spaced time grid, evaluated host-side once per run — it is a 1-D ODE)."""
+    r = float(r0)
+    out = [r]
+    for t0, t1 in zip(times[:-1], times[1:]):
+        nsub = 16
+        dt = (t1 - t0) / nsub
+        for i in range(nsub):
+            t = t0 + i * dt
+            k1 = float(asymptotic_radius_ode(r, t, cfg))
+            k2 = float(asymptotic_radius_ode(r + 0.5 * dt * k1, t + 0.5 * dt, cfg))
+            k3 = float(asymptotic_radius_ode(r + 0.5 * dt * k2, t + 0.5 * dt, cfg))
+            k4 = float(asymptotic_radius_ode(r + dt * k3, t + dt, cfg))
+            r += dt * (k1 + 2 * k2 + 2 * k3 + k4) / 6.0
+        out.append(r)
+    return np.asarray(out)
+
+
+def evolve_radius_explicit(cfg: DropletConfig, u0, q0, *, r0: float,
+                           r_final: float, volume: float = 1.0,
+                           tol: float = 1e-2, pma_loops: int = 25,
+                           dtmesh: float | None = None, max_steps: int = 500):
+    """Explicit radius evolution (evolve_R_explicit, droplet.py:316-358):
+    grow R by the explicit law ``Rdot`` with dt = dtR * R^2, re-seed the
+    quasi-static solution at each radius, and sub-iterate the PMA mesh.
+
+    Runs as one jitted while_loop; returns (u, q, R, steps).
+    """
+    grid = cfg.grid
+    if dtmesh is None:
+        dtmesh = cfg.dtmesh
+    dt_r = 5e-2  # dtR_ (droplet.py:48)
+    mon_src = lambda u, geom, g: monitor_source(u, geom, g)
+
+    def cond(state):
+        u, q, r, t, i = state
+        return (jnp.abs(r_final - r) > tol) & (i < max_steps)
+
+    def body(state):
+        u, q, r, t, i = state
+        dt = dt_r * r * r
+        r_new = r + dt * rdot(r, volume, cfg)
+        geom = curvilinear.mesh_geometry(q, grid)
+        rr = jnp.sqrt(geom.x ** 2 + geom.y ** 2)
+        u_new = cfg.epsilon + (1.0 - cfg.epsilon) * seed_height(
+            seed_profile(rr, r_new, cfg), r_new, volume
+        )
+        # reference order (droplet.py:330-334): the solution is re-seeded at
+        # the new radius before the PMA sub-loop runs
+        q_new = loop_pma(q, u_new, dtmesh, pma_loops, grid, cfg.pma, mon_src)
+        return (u_new, q_new, r_new, t + dt, i + 1)
+
+    r0j = jnp.asarray(r0, u0.dtype)
+    u, q, r, t, steps = lax.while_loop(
+        cond, body, (u0, q0, r0j, jnp.asarray(0.0, u0.dtype), jnp.int32(0))
+    )
+    return u, q, r, steps
+
+
 # -- mesh-quality diagnostics (droplet.py:476-542) ---------------------------
 
 def interior_spacings(geom: MeshGeometry):
