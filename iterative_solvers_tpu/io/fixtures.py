@@ -64,6 +64,27 @@ def load(path: str | pathlib.Path) -> DropletFixture:
     )
 
 
+def upsample(fix: DropletFixture, nx: int, ny: int) -> DropletFixture:
+    """Bicubic-interpolate a fixture state onto a finer grid — used to seed
+    large-scale (e.g. 4096^2) runs from the reference's 91x61 states.  The
+    mesh potential Q interpolates smoothly (it is C^2 by construction), so
+    the refined mesh inherits the coarse adaption."""
+    from scipy.interpolate import RegularGridInterpolator
+
+    ys = np.linspace(0.0, 1.0, fix.ny)
+    xs = np.linspace(0.0, 1.0, fix.nx)
+    yt = np.linspace(0.0, 1.0, ny)
+    xt = np.linspace(0.0, 1.0, nx)
+    pts = np.stack(np.meshgrid(yt, xt, indexing="ij"), axis=-1).reshape(-1, 2)
+
+    def interp(f):
+        rgi = RegularGridInterpolator((ys, xs), f, method="cubic")
+        return rgi(pts).reshape(ny, nx)
+
+    return dataclasses.replace(fix, nx=nx, ny=ny, u=interp(fix.u),
+                               q=interp(fix.q))
+
+
 def config_for(fix: DropletFixture):
     """DropletConfig matching a fixture's encoded parameters (fixing the
     reference pitfall of silently loading a state under mismatched globals —

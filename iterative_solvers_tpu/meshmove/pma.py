@@ -41,6 +41,12 @@ class PMAParams:
     gamma: float = 0.1         # smoothing extent
     mackenzie_c: float = 1.0   # Mackenzie constant (0.15 for droplet)
     smoothing_iters: int = 4
+    spectral_dtype: str | None = None
+    # e.g. "float32": run the DCT matmuls (the O(N^3) part of the mesh
+    # solve) in reduced precision — f64 matmuls are emulated on TPU and
+    # dominate at large grids, while the mesh velocity tolerates ~1e-6
+    # relative noise (it is integrated with tiny explicit dtmesh steps).
+    # None keeps the state dtype (parity mode).
 
 
 @lru_cache(maxsize=16)
@@ -59,8 +65,12 @@ def pma_leig(grid: Grid2D) -> np.ndarray:
 def solve_pma(mon, jac, grid: Grid2D, params: PMAParams):
     """dQ/dt from a smoothed monitor and mesh Jacobian (droplet.py:578-588)."""
     q_rhs = jnp.sqrt(mon * jnp.abs(jac)) / params.alpha
+    out_dtype = q_rhs.dtype
+    if params.spectral_dtype is not None:
+        q_rhs = q_rhs.astype(params.spectral_dtype)
     leig = jnp.asarray(pma_leig(grid), dtype=q_rhs.dtype)
-    return idct2(dct2(q_rhs) / (1.0 - params.gamma * leig))
+    dqdt = idct2(dct2(q_rhs) / (1.0 - params.gamma * leig))
+    return dqdt.astype(out_dtype)
 
 
 def pma_dqdt(q, u, grid: Grid2D, params: PMAParams,

@@ -56,6 +56,7 @@ class DropletConfig:
     mackenzie_c: float = 0.15
     dtmesh: float = 1e-7
     smoothing_iters: int = 4
+    spectral_dtype: str | None = None   # "float32" = fast PMA transforms
 
     @property
     def grid(self) -> Grid2D:
@@ -66,7 +67,8 @@ class DropletConfig:
     def pma(self) -> PMAParams:
         return PMAParams(alpha=self.alpha, gamma=self.gamma,
                          mackenzie_c=self.mackenzie_c,
-                         smoothing_iters=self.smoothing_iters)
+                         smoothing_iters=self.smoothing_iters,
+                         spectral_dtype=self.spectral_dtype)
 
     @property
     def epsilon2(self) -> float:
@@ -292,6 +294,15 @@ def evolve(cfg: DropletConfig, u0, q0, dt: float, nsteps: int,
         None, length=nsteps,
     )
     return u, q, t, aux
+
+
+def fast_solver(f_tol: float = 1e-7, inner_m: int = 12,
+                outer_k: int = 6, maxiter: int = 20) -> NewtonKrylov:
+    """TPU-tuned droplet JFNK: f32 inner Krylov (the FD directional
+    derivatives stay f64 — the residual's disjoining-pressure cancellations
+    need it), scipy-default iteration caps (droplet.py:383)."""
+    return NewtonKrylov(f_tol=f_tol, maxiter=maxiter, inner_m=inner_m,
+                        outer_k=outer_k, inner_dtype="float32")
 
 
 def asymptotic_radius_trajectory(cfg: DropletConfig, r0: float,

@@ -1,0 +1,89 @@
+"""Droplet driver surface: radius laws, explicit evolution, inflation,
+upsampling, fast-solver parity."""
+import dataclasses
+import pathlib
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from iterative_solvers_tpu.io import fixtures as fx
+from iterative_solvers_tpu.models import droplet as dp
+from iterative_solvers_tpu.ops import curvilinear
+
+FIX = pathlib.Path(__file__).parent / "fixtures"
+COAL = "/root/reference/python_work/initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"
+
+
+def test_asymptotic_radius_trajectory_monotone():
+    """The spreading law grows R toward its equilibrium (512^(1/9) ≈ 2)."""
+    cfg = dp.DropletConfig()
+    times = np.concatenate(([0.0], np.logspace(-5, 2, 50)))
+    r = dp.asymptotic_radius_trajectory(cfg, 1.0, times)
+    assert r.shape == times.shape
+    assert np.all(np.diff(r) > -1e-12)           # monotone growth
+    assert 1.9 < r[-1] < 2.1                     # -> 512^(1/9) = 2.0
+
+
+def test_rdot_sign():
+    cfg = dp.DropletConfig()
+    # below equilibrium volume radius -> spreading; above -> receding
+    assert float(dp.rdot(1.0, 1.0, cfg)) > 0     # 8V/R^3 = 8 > 1
+    assert float(dp.rdot(3.0, 1.0, cfg)) < 0
+
+
+def test_evolve_radius_explicit_grows():
+    cfg = dp.DropletConfig(nx=31, ny=21)
+    q0 = dp.initial_mesh_potential(cfg)
+    geom = curvilinear.mesh_geometry(q0, cfg.grid)
+    u0 = dp.seeded_solution(geom, cfg, [(0.0, 0.0, 1.0, 1.0)])
+    u, q, r, steps = dp.evolve_radius_explicit(
+        cfg, u0, q0, r0=1.0, r_final=1.3, tol=5e-2, pma_loops=2,
+        max_steps=100,
+    )
+    assert 1.2 < float(r) <= 1.4
+    assert int(steps) < 100
+    geom = curvilinear.mesh_geometry(q, cfg.grid)
+    assert float(jnp.min(geom.jac)) > 0
+
+
+def test_inflation_short():
+    """Short quasi-static inflation produces a valid adapted state."""
+    cfg = dp.DropletConfig(nx=31, ny=21)
+    q, u = dp.inflate(cfg, [[0.0, 0.0, 1.0, 0.25]], vsteps=10, dtmesh=5e-9,
+                      pma_loops=3)
+    geom = curvilinear.mesh_geometry(q, cfg.grid)
+    assert float(jnp.min(geom.jac)) > 0
+    assert float(jnp.max(u)) > 2 * cfg.epsilon   # drop present
+    assert float(jnp.min(u)) >= cfg.epsilon - 1e-12
+
+
+def test_upsample_preserves_mesh_validity():
+    fixture = fx.load(COAL)
+    big = fx.upsample(fixture, 256, 192)
+    cfg = fx.config_for(big)
+    geom = curvilinear.mesh_geometry(jnp.array(big.q), cfg.grid)
+    assert float(jnp.min(geom.jac)) > 0
+    # seeded solution on the refined mesh is positive and sharp
+    u = dp.seeded_solution(geom, cfg, [(0.0, 0.0, 1.0, 1.0),
+                                       (3.0, 0.0, 1.0, 1.0)])
+    assert float(jnp.min(u)) >= cfg.epsilon - 1e-12
+    assert float(jnp.max(u)) > 1.0
+
+
+def test_fast_solver_parity_with_scipy_golden():
+    """Mixed-precision droplet JFNK matches the scipy golden to 1e-6."""
+    g = np.load(FIX / "golden_droplet_step.npz")
+    fixture = fx.load(COAL)
+    cfg = dataclasses.replace(fx.config_for(fixture), spectral_dtype="float32")
+    u = jnp.array(fixture.u)
+    q = jnp.array(fixture.q)
+    step = dp.make_step(cfg, dt=float(g["dt"]), dtmesh=3e-9, pma_loops=5,
+                        solver=dp.fast_solver())
+    out = step(u, q, float(g["dt"]))
+    assert bool(out.converged)
+    np.testing.assert_allclose(np.asarray(out.u),
+                               g["u_new"].reshape(cfg.grid.shape), atol=1e-6)
+    # mesh potential: f32 spectral transforms add ~1e-6 absolute noise
+    np.testing.assert_allclose(np.asarray(out.q),
+                               g["q_new"].reshape(cfg.grid.shape), atol=1e-5)
