@@ -159,10 +159,15 @@ def monitor_source(u, geom: MeshGeometry, grid: Grid2D):
 # -- droplet seeding ---------------------------------------------------------
 
 def seed_profile(r, R, cfg: DropletConfig):
-    """G(r) (droplet.py:425-426/551): smoothed distance-to-contact-line."""
+    """G(r) (droplet.py:425-426/551): smoothed distance-to-contact-line.
+
+    Written via softplus — log(1+exp(x)) = max(x,0) + log1p(exp(-|x|)) — so
+    it cannot overflow in f32 (the reference's literal form computes
+    exp(2aR) ~ e^200 which is inf below f64).
+    """
     a = cfg.a
-    return R + jnp.log(
-        (1.0 + jnp.exp(-2.0 * a * (r + R))) / (1.0 + jnp.exp(-2.0 * a * (r - R)))
+    return R + (
+        jax.nn.softplus(-2.0 * a * (r + R)) - jax.nn.softplus(-2.0 * a * (r - R))
     ) / (2.0 * a)
 
 
