@@ -19,8 +19,6 @@ Two distribution styles are provided and tested against each other:
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

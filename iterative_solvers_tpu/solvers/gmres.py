@@ -17,7 +17,6 @@ Design notes (TPU):
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .gmres import _dot, _norm, _apply_givens
+from .gmres import _norm, _apply_givens
 
 
 class LgmresRecycle(NamedTuple):

@@ -4,7 +4,6 @@ import dataclasses
 import pathlib
 
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from iterative_solvers_tpu.io import fixtures as fx

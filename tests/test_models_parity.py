@@ -5,7 +5,6 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
-from iterative_solvers_tpu.core.grid import Grid2D
 from iterative_solvers_tpu.ops import curvilinear
 from iterative_solvers_tpu.models import droplet as dp
 from iterative_solvers_tpu.models import mems

@@ -5,10 +5,9 @@ import jax
 import jax.numpy as jnp
 from scipy.optimize import newton_krylov as scipy_nk
 
-from iterative_solvers_tpu.solvers.newton import NewtonKrylov, newton_krylov
+from iterative_solvers_tpu.solvers.newton import newton_krylov
 from iterative_solvers_tpu.models.swift_hohenberg import (
     SHConfig,
-    apply_L,
     make_cn_step,
     evolve_cn,
     semi_implicit_step,

@@ -10,8 +10,6 @@ from tests.reference_oracles import (
     d1_backward_1d,
     periodic_laplacian,
     sh_L,
-    d1_matrix_1d,
-    d2_matrix_1d,
 )
 
 RNG = np.random.default_rng(42)

@@ -7,7 +7,6 @@ tests/fixtures/.  Run once per reference version; the test suite then checks
 the TPU-native ops against these files without touching the reference.
 """
 import pathlib
-import sys
 
 import numpy as np
 
