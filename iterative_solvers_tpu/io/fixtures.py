@@ -69,20 +69,43 @@ def upsample(fix: DropletFixture, nx: int, ny: int) -> DropletFixture:
     large-scale (e.g. 4096^2) runs from the reference's 91x61 states.  The
     mesh potential Q interpolates smoothly (it is C^2 by construction), so
     the refined mesh inherits the coarse adaption."""
-    from scipy.interpolate import RegularGridInterpolator
+    from scipy.interpolate import RectBivariateSpline
 
     ys = np.linspace(0.0, 1.0, fix.ny)
     xs = np.linspace(0.0, 1.0, fix.nx)
     yt = np.linspace(0.0, 1.0, ny)
     xt = np.linspace(0.0, 1.0, nx)
-    pts = np.stack(np.meshgrid(yt, xt, indexing="ij"), axis=-1).reshape(-1, 2)
 
     def interp(f):
-        rgi = RegularGridInterpolator((ys, xs), f, method="cubic")
-        return rgi(pts).reshape(ny, nx)
+        return RectBivariateSpline(ys, xs, f, kx=3, ky=3)(yt, xt)
 
-    return dataclasses.replace(fix, nx=nx, ny=ny, u=interp(fix.u),
-                               q=interp(fix.q))
+    q_up = interp(fix.q)
+
+    # Blend Q into the identity-mesh potential near the boundary: the fine
+    # grid's one-sided Neumann formulas amplify any boundary inconsistency
+    # of the interpolant by 1/h, which tangles the mesh.  The reference's
+    # meshes are near-uniform at the boundary anyway (adaption concentrates
+    # in the interior), so a smooth ~16-cell taper to (x^2 + y^2)/2 keeps
+    # the interior adaption and makes the boundary exactly consistent.
+    cfg = config_for(dataclasses.replace(fix, nx=nx, ny=ny))
+    grid = cfg.grid
+    q_id = 0.5 * (grid.xx ** 2 + grid.yy ** 2)
+    dev = q_up - q_id
+    # Q is a potential — only derivatives matter — so remove the (large)
+    # constant offset before tapering; blending the offset itself would
+    # inject O(offset / taper_width^2) spurious curvature.
+    frame = np.concatenate([dev[0, :], dev[-1, :], dev[:, 0], dev[:, -1]])
+    dev = dev - np.mean(frame)
+    iy = np.arange(ny)[:, None]
+    ix = np.arange(nx)[None, :]
+    dist = np.minimum(np.minimum(iy, ny - 1 - iy),
+                      np.minimum(ix, nx - 1 - ix)).astype(np.float64)
+    taper = max(16.0, min(nx, ny) / 16.0)
+    w = np.clip(dist / taper, 0.0, 1.0)
+    w = w * w * (3.0 - 2.0 * w)  # smoothstep
+    q_fixed = q_id + w * dev
+
+    return dataclasses.replace(fix, nx=nx, ny=ny, u=interp(fix.u), q=q_fixed)
 
 
 def config_for(fix: DropletFixture):
