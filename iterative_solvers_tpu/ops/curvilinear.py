@@ -82,6 +82,51 @@ def mesh_geometry(q, grid: Grid2D) -> MeshGeometry:
     return MeshGeometry(x=qx, y=qy, xx=qxx, yy=qyy, xy=qxy, jac=jac)
 
 
+def mesh_geometry_dev(phi, grid: Grid2D) -> MeshGeometry:
+    """Mesh geometry from the *deviation* potential: ``Q = (x^2+y^2)/2 + phi``.
+
+    Numerically-robust reformulation for large grids: the finite-difference
+    stencils of the full potential Q (values ~ |domain|^2/2) cancel terms of
+    magnitude ``Q/h^2`` down to O(1) — at 4096^2 that is a 1e9 -> 1 f64-only
+    cancellation.  Differentiating only the O(1) deviation (the identity
+    part's derivatives are analytic: x, y, 1, 1, 0) keeps every stencil's
+    terms O(phi/h^2) and makes f32 mesh geometry accurate to ~1e-3 relative,
+    unlocking the fully-f32 large-grid path.
+
+    ``phi`` has homogeneous Neumann BCs (dQ/dn = boundary coordinate holds
+    exactly for the identity part), so the one-sided second-derivative
+    corrections vanish and the cross-derivative is zero on the boundary as
+    in :func:`mesh_geometry`.
+    """
+    dx, dy = grid.dx, grid.dy
+
+    px = stencils.d1_x(phi, dx)
+    px = px.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    py = stencils.d1_y(phi, dy)
+    py = py.at[0, :].set(0.0).at[-1, :].set(0.0)
+
+    pxx = stencils.d2_x(phi, dx)
+    pyy = stencils.d2_y(phi, dy)
+    pxy = stencils.dxy(phi, dx, dy)
+    pxy = pxy.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    pxy = pxy.at[0, :].set(0.0).at[-1, :].set(0.0)
+
+    xx_id = jnp.asarray(grid.xx, phi.dtype)
+    yy_id = jnp.asarray(grid.yy, phi.dtype)
+    qxx = 1.0 + pxx
+    qyy = 1.0 + pyy
+    jac = qxx * qyy - pxy * pxy
+    return MeshGeometry(x=xx_id + px, y=yy_id + py, xx=qxx, yy=qyy, xy=pxy,
+                        jac=jac)
+
+
+def to_deviation(q, grid: Grid2D):
+    """Split a full mesh potential into its identity part and deviation."""
+    q_id = 0.5 * (jnp.asarray(grid.xx, q.dtype) ** 2
+                  + jnp.asarray(grid.yy, q.dtype) ** 2)
+    return q - q_id
+
+
 def grad_ksi_neumann(v, grid: Grid2D, quirk: bool = False):
     """Computational-space gradient with homogeneous Neumann edges zeroed.
 
