@@ -74,13 +74,16 @@ def solve_pma(mon, jac, grid: Grid2D, params: PMAParams):
 
 
 def pma_dqdt(q, u, grid: Grid2D, params: PMAParams,
-             monitor_source: Callable):
+             monitor_source: Callable, geometry_fn: Callable | None = None):
     """Full chain: geometry -> monitor source -> smoothing -> spectral solve.
 
     ``monitor_source(u, geom, grid)`` returns the raw adaptivity field (model
     specific — |lap u|^2, arclength, or 1/(1+u)^6; see models.*).
+    ``geometry_fn`` defaults to the full-potential ``mesh_geometry``; pass
+    ``curvilinear.mesh_geometry_dev`` to run on deviation potentials (the
+    f32-robust large-grid form — ``q`` then holds phi).
     """
-    geom = curvilinear.mesh_geometry(q, grid)
+    geom = (geometry_fn or curvilinear.mesh_geometry)(q, grid)
     src = monitor_source(u, geom, grid)
     mon = smooth_and_regularise(
         src, geom.jac, grid.dx, grid.dy,
@@ -91,11 +94,11 @@ def pma_dqdt(q, u, grid: Grid2D, params: PMAParams,
 
 
 def loop_pma(q, u, dt: float, loops: int, grid: Grid2D, params: PMAParams,
-             monitor_source: Callable):
+             monitor_source: Callable, geometry_fn: Callable | None = None):
     """``loops`` explicit PMA sub-steps (droplet.py:590-599) under one jit."""
 
     def body(_, q):
-        dqdt = pma_dqdt(q, u, grid, params, monitor_source)
+        dqdt = pma_dqdt(q, u, grid, params, monitor_source, geometry_fn)
         return q + dt * dqdt
 
     return lax.fori_loop(0, loops, body, q)

@@ -252,18 +252,27 @@ class DropletStepResult(NamedTuple):
 
 
 def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
-              solver: NewtonKrylov | None = None):
+              solver: NewtonKrylov | None = None,
+              deviation_form: bool = False):
     """One evolve_with_PDE step (droplet.py:370-384): CN/JFNK solve of the
     physical PDE on the frozen mesh, then ``pma_loops`` explicit PMA
-    sub-steps."""
+    sub-steps.
+
+    ``deviation_form=True`` interprets the mesh state as the deviation
+    potential phi (Q = identity + phi) via
+    :func:`..ops.curvilinear.mesh_geometry_dev` — the f32-robust large-grid
+    path (see tests/test_deviation_geometry.py).
+    """
     if solver is None:
         # reference: newton_krylov(..., maxiter=20, f_tol=1e-7)
         solver = NewtonKrylov(f_tol=1e-7, maxiter=20)
     grid = cfg.grid
     mon_src = lambda u, geom, g: monitor_source(u, geom, g)
+    geometry_fn = (curvilinear.mesh_geometry_dev if deviation_form
+                   else curvilinear.mesh_geometry)
 
     def step(u, q, dt_n):
-        geom = curvilinear.mesh_geometry(q, grid)
+        geom = geometry_fn(q, grid)
         F = pde_rhs(u, geom, cfg)
         res = solver.solve(
             partial(cn_residual, u_old=u, F=F, dt=dt_n, geom=geom, cfg=cfg), u
@@ -271,7 +280,8 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
         # reference ordering: loop_pma's monitor is driven by the *old*
         # solution — U.val is only replaced at the top of the next step
         # (droplet.py:373,384; compute_u_spatial_ders reads U.val)
-        q_new = loop_pma(q, u, dtmesh, pma_loops, grid, cfg.pma, mon_src)
+        q_new = loop_pma(q, u, dtmesh, pma_loops, grid, cfg.pma, mon_src,
+                         geometry_fn)
         return DropletStepResult(u=res.x, q=q_new, newton_iters=res.iters,
                                  f_norm=res.f_norm, converged=res.converged)
 
