@@ -86,3 +86,24 @@ def test_fast_solver_parity_with_scipy_golden():
     # mesh potential: f32 spectral transforms add ~1e-6 absolute noise
     np.testing.assert_allclose(np.asarray(out.q),
                                g["q_new"].reshape(cfg.grid.shape), atol=1e-5)
+
+
+def test_rect_fixture_step_parity():
+    """BASELINE config 3: one JFNK step from the 61x61 rect fixture matches
+    the scipy-driven reference to 1e-6."""
+    g = np.load(FIX / "golden_rect_step.npz")
+    fixture = fx.load(
+        "/root/reference/python_work/initdrop_rect_1_61-61_100_0.01_0.01_0.1_0.15.txt"
+    )
+    cfg = fx.config_for(fixture)
+    assert (cfg.nx, cfg.ny, cfg.epsilon) == (61, 61, 0.01)
+    grid = cfg.grid
+    u = jnp.array(fixture.u)
+    q = jnp.array(fixture.q)
+    step = dp.make_step(cfg, dt=float(g["dt"]), dtmesh=3e-9, pma_loops=5)
+    out = step(u, q, float(g["dt"]))
+    assert bool(out.converged)
+    np.testing.assert_allclose(np.asarray(out.u),
+                               g["u_new"].reshape(grid.shape), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.q),
+                               g["q_new"].reshape(grid.shape), atol=1e-8)

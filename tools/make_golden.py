@@ -175,7 +175,53 @@ def golden_droplet_step():
     print("droplet full-step golden written")
 
 
+def golden_rect_step():
+    """One evolve step from a rect (single-droplet) fixture — BASELINE
+    config 3 ("PMA thin-film droplet, rect init 61x61 grid")."""
+    from scipy.optimize import newton_krylov
+
+    d = load_patched("droplet.py", {"plot3d_bool = True": "plot3d_bool = False"})
+    # fixture initdrop_rect_1_61-61_100_0.01_... matches the default eps=0.01
+    d["Nx_"] = d["Ny_"] = 61
+    d["NN_"] = 61 * 61
+    # grid-dependent globals must be rebuilt for the 61x61 grid
+    d["ksiksi"], d["etaeta"] = np.meshgrid(
+        np.linspace(d["endl_"], d["endr_"], 61),
+        np.linspace(d["endb_"], d["endt_"], 61),
+    )
+    d["dksi_"] = (d["endr_"] - d["endl_"]) / 60
+    d["deta_"] = (d["endt_"] - d["endb_"]) / 60
+    d["dksi2_"] = d["dksi_"] ** 2
+    d["deta2_"] = d["deta_"] ** 2
+    Q, U, P = d["Q"], d["U"], d["P"]
+
+    fix = np.loadtxt(REF / "initdrop_rect_1_61-61_100_0.01_0.01_0.1_0.15.txt")
+    U.val = fix[:, 0].copy()
+    U.new = U.val.copy()
+    Q.val = fix[:, 1].copy()
+    d["make_Ibdy"]()
+    d["make_M"]()
+
+    dt_n = 1e-5
+    d["compute_Q_spatial_ders"]()
+    d["J"] = Q.d2ksi * Q.d2eta - Q.dksideta ** 2
+    d["compute_u_spatial_ders"]()
+    P.val = d["pressure"](U.val, U.xx, U.yy)
+    d["compute_P_spatial_ders"]()
+    F = d["pde_rhs"](U.val, U.xx, U.yy)
+    u_new = newton_krylov(lambda u: d["residual"](u, F, dt_n), U.val,
+                          maxiter=20, f_tol=1e-7)
+    d["loop_pma"](3e-9, 5)
+    np.savez(
+        OUT / "golden_rect_step.npz",
+        u_old=fix[:, 0], q_old=fix[:, 1], F=F, u_new=u_new, q_new=Q.val,
+        dt=dt_n,
+    )
+    print("rect full-step golden written")
+
+
 if __name__ == "__main__":
     golden_droplet()
     golden_pma2()
     golden_droplet_step()
+    golden_rect_step()
