@@ -20,6 +20,9 @@ struct CSR {
 
   Vec matvec(const Vec &x) const {
     Vec y(static_cast<std::size_t>(n_rows), 0.0);
+    // rows are independent; parallelise when the matrix is large enough to
+    // amortise thread startup (the reference's native layer is serial)
+#pragma omp parallel for schedule(static) if (n_rows > 16384)
     for (std::int64_t i = 0; i < n_rows; ++i) {
       double s = 0.0;
       for (std::int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
