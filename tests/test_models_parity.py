@@ -193,3 +193,17 @@ def test_checkpoint_roundtrip(tmp_path):
     bad = dp.DropletConfig(epsilon=0.005)
     with pytest.raises(ck.CheckpointMismatch):
         ck.load(tmp_path / "s.npz", config=bad)
+
+
+def test_mems_trajectory_parity():
+    """Three operator-split steps of the MEMS workload match the reference's
+    actual PMA2_nk main loop (scipy-driven golden) to 1e-6."""
+    g = np.load(FIX / "golden_pma2_traj.npz")
+    cfg = mems.MEMSConfig(k=float(g["k"]))
+    grid = cfg.grid
+    u, q, t, dts, iters = mems.evolve(cfg, nsteps=3)
+    np.testing.assert_allclose(np.asarray(dts), g["dts"], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(u), g["u"].reshape(grid.shape),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q), g["q"].reshape(grid.shape),
+                               atol=1e-8)

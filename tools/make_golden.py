@@ -220,8 +220,42 @@ def golden_rect_step():
     print("rect full-step golden written")
 
 
+def golden_pma2_trajectory():
+    """Three steps of PMA2_nk.py's actual main loop (operator-split CN/JFNK
+    + explicit mesh update) from the zero initial state."""
+    from scipy.optimize import newton_krylov
+
+    d = load_patched("PMA2_nk.py", {"plot_bool = True": "plot_bool = False"})
+    n, nn = d["N_"], d["NN_"]
+    Q, U = d["Q"], d["U"]
+    Q.val = np.reshape(0.5 * d["ksiksi"] ** 2 + 0.5 * d["etaeta"] ** 2, nn)
+    d["make_Ibdy"]()
+    d["make_M"]()
+    U.new = np.zeros(nn)
+
+    dts = []
+    for s in range(3):
+        U.val = U.new.copy()
+        d["compute_Q_spatial_ders"]()
+        d["J"] = Q.d2ksi * Q.d2eta - Q.dksideta ** 2
+        d["compute_u_spatial_ders"]()
+        d["dt"] = d["compute_g"]() * d["k"]
+        d["solve_PMA"]()
+        d["CN_term"] = d["compute_rhs_pde"]()
+        U.new = newton_krylov(d["residual"], U.val, verbose=0)
+        Q.val = Q.val + d["dt"] * Q.dt
+        dts.append(d["dt"])
+
+    np.savez(
+        OUT / "golden_pma2_traj.npz",
+        u=U.new, q=Q.val, dts=np.asarray(dts), n=n, k=d["k"],
+    )
+    print("pma2 trajectory golden written")
+
+
 if __name__ == "__main__":
     golden_droplet()
     golden_pma2()
     golden_droplet_step()
     golden_rect_step()
+    golden_pma2_trajectory()
