@@ -113,3 +113,23 @@ def test_sharded_sh_step_matches_single_device(mesh8, explicit):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
     # result must still be sharded over the mesh
     assert len(got.sharding.device_set) == 8
+
+
+def test_sharded_trajectory_scan(mesh8):
+    """Multi-step sharded evolution under lax.scan: sharding must survive
+    the scan and match the single-device trajectory."""
+    from iterative_solvers_tpu.models.swift_hohenberg import evolve_cn
+
+    cfg = SHConfig(n=32)
+    solver = NewtonKrylov(f_tol=1e-9, maxiter=30, inner_m=15, outer_k=5)
+    u0 = jnp.array(RNG.standard_normal((cfg.n, cfg.n)))
+
+    want, _, _ = jax.jit(lambda u: evolve_cn(u, 4, cfg, solver))(u0)
+
+    sharding = shard_field(u0, mesh8).sharding
+    f = jax.jit(lambda u: evolve_cn(u, 4, cfg, solver),
+                in_shardings=sharding,
+                out_shardings=(sharding, None, None))
+    got, iters, fn = f(shard_field(u0, mesh8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+    assert len(got.sharding.device_set) == 8
