@@ -22,6 +22,8 @@ import numpy as np
 import jax
 
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp  # noqa: E402
 from jax import lax  # noqa: E402
@@ -119,6 +121,40 @@ def bench_pma_loop():
     emit("pma_loop_iter_91x61", marginal_ms(make, 20, 120), "ms", baseline=2.1)
 
 
+def bench_droplet_full_step():
+    """Full evolve_with_PDE step at 91x61 with the production pma_loops=400.
+    Reference cost composition (BASELINE.md rows 2-3): ~91 residual evals x
+    1.6 ms + 400 PMA iters x 2.1 ms ≈ 0.99 s/step."""
+    import dataclasses
+
+    from iterative_solvers_tpu.io import fixtures as fx
+    from iterative_solvers_tpu.models import droplet as dp
+
+    fixture = fx.load(
+        "/root/reference/python_work/initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"
+    )
+    cfg = dataclasses.replace(fx.config_for(fixture), spectral_dtype="float32")
+    u = jnp.array(fixture.u)
+    q = jnp.array(fixture.q)
+    step = dp.make_step(cfg, dt=1e-5, dtmesh=3e-9, pma_loops=400,
+                        solver=dp.fast_solver())
+
+    def make(k):
+        def chain():
+            def body(carry, _):
+                uu, qq = carry
+                out = step(uu, qq, 1e-5)
+                return (out.u, out.q), out.f_norm
+
+            (uu, qq), fns = lax.scan(body, (u, q), None, length=k)
+            return jnp.sum(uu) + jnp.sum(fns)
+
+        return jax.jit(chain)
+
+    emit("droplet_full_step_91x61_pma400", marginal_ms(make, 1, 5, reps=2),
+         "ms", baseline=990.0)
+
+
 def bench_poisson():
     from iterative_solvers_tpu.models import poisson
 
@@ -206,6 +242,7 @@ if __name__ == "__main__":
     bench_sh_step()
     bench_droplet_residual()
     bench_pma_loop()
+    bench_droplet_full_step()
     bench_poisson()
     bench_large_sh()
     bench_pallas_stencils()
