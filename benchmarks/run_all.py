@@ -219,15 +219,22 @@ def bench_pallas_stencils():
     scale = np.abs(ref).max()
     assert np.abs(ref - got).max() / scale < 1e-5, "sh pallas parity"
 
+    # Timing chains apply the operator to its own output, so the constants
+    # are chosen to make each operator a contraction (lap eigenvalues in
+    # [-8/h², 0] → h_b = √8 gives spectral radius 1; SH with r=0.5 ditto) —
+    # the kernel's cost does not depend on h/r, and this keeps the chain
+    # free of any extra elementwise-rescale pass that would pollute the
+    # bandwidth measurement.
+    h_b = float(np.sqrt(8.0))
     for name, op in [
-        ("lap4096_xla", lambda x: lap_periodic(x, h)),
-        ("lap4096_pallas", lambda x: lap_periodic_pallas(x, h)),
-        ("sh4096_xla", lambda x: sh_linear_operator(x, h, 0.01)),
-        ("sh4096_pallas", lambda x: sh_operator_pallas(x, h, 0.01)),
+        ("lap4096_xla", lambda x: lap_periodic(x, h_b)),
+        ("lap4096_pallas", lambda x: lap_periodic_pallas(x, h_b)),
+        ("sh4096_xla", lambda x: sh_linear_operator(x, h_b, 0.5)),
+        ("sh4096_pallas", lambda x: sh_operator_pallas(x, h_b, 0.5)),
     ]:
         def make(k, op=op):
             def chain():
-                out = lax.fori_loop(0, k, lambda i, x: op(x) * 1e-4, u)
+                out = lax.fori_loop(0, k, lambda i, x: op(x), u)
                 return jnp.sum(out)
 
             return jax.jit(chain)

@@ -3,18 +3,27 @@
 XLA already fuses the shifted-slice stencil pipelines in :mod:`.stencils`
 well; these kernels exist for the cases where manual control wins:
 
-- :func:`lap_periodic_pallas` — blocked 5-point periodic Laplacian.  Each
-  grid step DMAs a row slab from HBM into VMEM (wrapped halo rows fetched
-  explicitly, so no full-array roll ever materialises in HBM the way XLA's
-  ``jnp.roll`` lowering can), applies the stencil with in-register lane
-  rolls, and writes one ``(bm, n)`` output block.
+- :func:`lap_periodic_pallas` — 5-point periodic Laplacian as a
+  double-buffered slab pipeline.
 - :func:`sh_operator_pallas` — the fused Swift–Hohenberg operator
   ``-Lap^2 - 2 Lap + (r-1) I``: one slab load per block feeds the double
   Laplacian, halving HBM traffic vs two separate Laplacian passes.
 
-Mosaic constraint: DMA destinations in VMEM must be sublane-aligned, so the
-halo strips are 8 rows wide (f32 tile height) regardless of the stencil's
-1-2 row needs; the compute slices the loaded values at the exact offsets.
+Both run as a SINGLE kernel invocation (``grid=()``) with an internal
+``fori_loop`` over row chunks and two-slot input/output VMEM buffers:
+while chunk *i* computes, the HBM->VMEM load of chunk *i+1* and the
+VMEM->HBM store of chunk *i-1* are in flight.  This is what lifts the
+Laplacian from ~56% to ~87% of the HBM roofline (measured at 4096², f32,
+v5e — see benchmarks/run_all.py); a grid-stepped variant with
+``pl.when``-predicated cross-step DMA stalled in Mosaic and was abandoned.
+
+Mosaic constraints honoured here:
+- DMA destinations in VMEM must be sublane-aligned, so the halo strips are
+  8 rows (f32 tile height) regardless of the stencil's 1-2 row needs; the
+  compute slices the loaded slab at the exact offsets.
+- Python int literals become i64 under x64 and break Mosaic lowering
+  (``tpu.memref_slice``/``dynamic_rotate`` want i32) — every kernel-side
+  constant is wrapped in ``jnp.int32``.
 
 Both functions fall back to the jnp implementations off-TPU (CPU tests run
 the fallback; the TPU bench exercises the kernels).
@@ -23,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from . import stencils
 
@@ -41,46 +51,6 @@ def _roll_lanes(x, shift):
     return pltpu.roll(x, shift=jnp.int32(shift % x.shape[1]), axis=1)
 
 
-def _load_slab(u_hbm, slab, sem, i, bm, n_rows):
-    """DMA rows [i*bm - 8, i*bm + bm + 8) of u (periodic wrap) into slab.
-
-    All VMEM destination offsets are multiples of 8 (Mosaic sublane tiling);
-    the periodic wrap only ever triggers on the first/last grid step because
-    bm >= 8.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    ng = pl.num_programs(0)
-    start = pl.multiple_of(i * bm, _HALO)
-    mid = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(start, bm), :], slab.at[pl.ds(_HALO, bm), :], sem.at[jnp.int32(0)]
-    )
-    mid.start()
-    # NB: jnp.int32 constants — Python ints lower as i64 under x64 and
-    # trigger an MLIR closed_call caching bug inside pallas kernels
-    top_src = pl.multiple_of(
-        jnp.where(i == 0, jnp.int32(n_rows - _HALO),
-                  start - jnp.int32(_HALO)), _HALO
-    )
-    top = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(top_src, _HALO), :], slab.at[pl.ds(0, _HALO), :],
-        sem.at[jnp.int32(1)],
-    )
-    top.start()
-    bot_src = pl.multiple_of(
-        jnp.where(i == ng - 1, jnp.int32(0), start + jnp.int32(bm)), _HALO
-    )
-    bot = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(bot_src, _HALO), :],
-        slab.at[pl.ds(_HALO + bm, _HALO), :], sem.at[jnp.int32(2)],
-    )
-    bot.start()
-    mid.wait()
-    top.wait()
-    bot.wait()
-
-
 def _lap_rows(s, inv_h2, lo, hi):
     """5-point periodic Laplacian of rows [lo, hi) of the loaded slab value
     (columns periodic via lane rolls)."""
@@ -91,71 +61,137 @@ def _lap_rows(s, inv_h2, lo, hi):
             - 4.0 * core) * inv_h2
 
 
+def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
+                             vmem_mb=None):
+    """Slab pipeline: ``compute((bm + 2*HALO, n) slab) -> (bm, n) block``,
+    double-buffered on both the input loads and the output stores."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchunks = n_rows // bm
+
+    def kernel(u_hbm, out_hbm, slabs, outs, in_sems, out_sems):
+        def in_copies(slot, idx):
+            """Rows [idx*bm - HALO, idx*bm + bm + HALO) of u, periodic wrap,
+            into slabs[slot].  Wrap only triggers at the first/last chunk
+            because bm >= HALO."""
+            start = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+            mid = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(start, bm), :],
+                slabs.at[slot, pl.ds(_HALO, bm), :],
+                in_sems.at[slot, jnp.int32(0)],
+            )
+            top_src = pl.multiple_of(
+                jnp.where(idx == 0, jnp.int32(n_rows - _HALO),
+                          start - jnp.int32(_HALO)), _HALO)
+            top = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(top_src, _HALO), :],
+                slabs.at[slot, pl.ds(0, _HALO), :],
+                in_sems.at[slot, jnp.int32(1)],
+            )
+            bot_src = pl.multiple_of(
+                jnp.where(idx == nchunks - 1, jnp.int32(0),
+                          start + jnp.int32(bm)), _HALO)
+            bot = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(bot_src, _HALO), :],
+                slabs.at[slot, pl.ds(_HALO + bm, _HALO), :],
+                in_sems.at[slot, jnp.int32(2)],
+            )
+            return (mid, top, bot)
+
+        def out_copy(slot, idx):
+            dst = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+            return pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(dst, bm), :],
+                out_sems.at[slot],
+            )
+
+        for c in in_copies(jnp.int32(0), jnp.int32(0)):  # warm-up
+            c.start()
+
+        def body(idx, _):
+            slot = lax.rem(idx, jnp.int32(2))
+            nslot = lax.rem(idx + jnp.int32(1), jnp.int32(2))
+
+            @pl.when(idx + 1 < nchunks)
+            def _():
+                for c in in_copies(nslot, idx + jnp.int32(1)):
+                    c.start()
+
+            for c in in_copies(slot, idx):
+                c.wait()
+
+            # outs[slot] still streaming to HBM from two chunks ago
+            @pl.when(idx >= 2)
+            def _():
+                out_copy(slot, idx - jnp.int32(2)).wait()
+
+            outs[slot] = compute(slabs[slot])
+            out_copy(slot, idx).start()
+            return jnp.int32(0)
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), body, jnp.int32(0))
+
+        @pl.when(jnp.int32(nchunks) >= 2)  # drain the last two stores
+        def _():
+            out_copy(jnp.int32(nchunks % 2), jnp.int32(nchunks - 2)).wait()
+        out_copy(jnp.int32((nchunks - 1) % 2), jnp.int32(nchunks - 1)).wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bm + 2 * _HALO, n_cols), dtype),
+            pltpu.VMEM((2, bm, n_cols), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=None if vmem_mb is None else vmem_mb * 1024 * 1024,
+        ),
+    )
+
+
 def lap_periodic_pallas(u, h: float, block_rows: int = 128):
-    """Blocked periodic Laplacian.  Falls back to jnp off-TPU or when the
-    grid is too small to block."""
+    """Double-buffered blocked periodic Laplacian (86% HBM roofline at
+    4096² f32 on v5e).  Falls back to jnp off-TPU or when the grid is too
+    small to block."""
     n_rows, n_cols = u.shape
     if not _on_tpu() or n_rows % block_rows or n_rows < 2 * block_rows:
         return stencils.lap_periodic(u, h)
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     bm = block_rows
     inv_h2 = 1.0 / (h * h)
 
-    def kernel(u_hbm, out_ref, slab, sem):
-        i = pl.program_id(0)
-        _load_slab(u_hbm, slab, sem, i, bm, n_rows)
-        out_ref[:, :] = _lap_rows(slab[:, :], inv_h2, _HALO, _HALO + bm)
+    def compute(s):
+        return _lap_rows(s, inv_h2, _HALO, _HALO + bm)
 
-    return pl.pallas_call(
-        kernel,
-        grid=(n_rows // bm,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((bm, n_cols), lambda i: (i, jnp.int32(0)),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bm + 2 * _HALO, n_cols), u.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )(u)
+    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype)(u)
 
 
 def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128):
-    """Fused L = -Lap^2 - 2 Lap + (r-1) I with a single slab load per block
-    (double-Laplacian halo folded into the 8-row aligned strips)."""
+    """Fused L = -Lap^2 - 2 Lap + (r-1) I with a single slab load per chunk
+    (double-Laplacian halo folded into the 8-row aligned strips).  The
+    fusion halves HBM traffic vs two Laplacian passes; the kernel is
+    compute-bound (~60% of roofline in useful-bytes terms = ~1.2x the
+    bandwidth a two-pass implementation could ever reach)."""
     n_rows, n_cols = u.shape
     if not _on_tpu() or n_rows % block_rows or n_rows < 2 * block_rows:
         return stencils.sh_linear_operator(u, h, r)
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     bm = block_rows
     inv_h2 = 1.0 / (h * h)
 
-    def kernel(u_hbm, out_ref, slab, sem):
-        i = pl.program_id(0)
-        _load_slab(u_hbm, slab, sem, i, bm, n_rows)
-        s = slab[:, :]
+    def compute(s):
         # first Laplacian on rows [H-1, H+bm+1) — one ghost ring for lap2
         lap1 = _lap_rows(s, inv_h2, _HALO - 1, _HALO + bm + 1)
-        # second Laplacian on the core rows of lap1
         lap2 = _lap_rows(lap1, inv_h2, 1, bm + 1)
         core = s[_HALO:_HALO + bm, :]
-        out_ref[:, :] = -lap2 - 2.0 * lap1[1:-1, :] + (r - 1.0) * core
+        return -lap2 - 2.0 * lap1[1:-1, :] + (r - 1.0) * core
 
-    return pl.pallas_call(
-        kernel,
-        grid=(n_rows // bm,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((bm, n_cols), lambda i: (i, jnp.int32(0)),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bm + 2 * _HALO, n_cols), u.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )(u)
+    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype,
+                                    vmem_mb=64)(u)
