@@ -170,7 +170,8 @@ def lap_periodic_pallas(u, h: float, block_rows: int = 128):
     def compute(s):
         return _lap_rows(s, inv_h2, _HALO, _HALO + bm)
 
-    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype)(u)
+    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype,
+                                    vmem_mb=64)(u)
 
 
 def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128):
