@@ -31,20 +31,39 @@ from jax import lax  # noqa: E402
 
 def marginal_ms(make_fn, k_short, k_long, reps=3):
     """Marginal per-unit time of ``make_fn(k)`` returning a jitted callable
-    whose output is reduced to a scalar for synchronisation."""
+    whose output is reduced to a scalar for synchronisation.
+
+    ``make_fn`` may instead be marked with ``make_fn.traced_k = True`` and
+    take the chain length as a *traced* argument — then one compile serves
+    both chain lengths (the remote-compile tunnel here is slow enough that
+    compile count dominates suite wall time)."""
+
+    traced = getattr(make_fn, "traced_k", False)
 
     def run(k):
-        f = make_fn(k)
-        float(f())  # warmup
+        f = make_fn if traced else make_fn(k)
+        arg = (k,) if traced else ()
+        float(f(*arg))  # warmup
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f())
+            float(f(*arg))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
     t_s, t_l = run(k_short), run(k_long)
     return 1000.0 * (t_l - t_s) / (k_long - k_short)
+
+
+def chain_fn(op, x0):
+    """Jitted traced-length chain ``k -> sum(op^k(x0))`` for marginal_ms."""
+    jf = jax.jit(lambda k: jnp.sum(lax.fori_loop(0, k, lambda i, x: op(x), x0)))
+
+    def f(k):
+        return jf(k)
+
+    f.traced_k = True
+    return f
 
 
 def emit(metric, value, unit, baseline=None):
@@ -232,24 +251,57 @@ def bench_pallas_stencils():
         ("sh4096_xla", lambda x: sh_linear_operator(x, h_b, 0.5)),
         ("sh4096_pallas", lambda x: sh_operator_pallas(x, h_b, 0.5)),
     ]:
-        def make(k, op=op):
-            def chain():
-                out = lax.fori_loop(0, k, lambda i, x: op(x), u)
-                return jnp.sum(out)
-
-            return jax.jit(chain)
-
-        ms = marginal_ms(make, 25, 200)
+        ms = marginal_ms(chain_fn(op, u), 25, 200)
         gbps = bytes_min / ms / 1e6
         emit(f"{name}_apply", ms, "ms")
         emit(f"{name}_roofline_frac", gbps / device_hbm_gbps(), "x")
 
 
+def bench_spmv():
+    """Explicit-sparse SpMV/SpMM throughput at >=1M dof (BASELINE.json's
+    metric line: nnz/s + GB/s per chip).  Operator: the assembled periodic
+    SH operator L = -Lap^2 - 2Lap + (r-1)I at 1024² (13 points/row ≈ 13.6M
+    nnz) — the explicit-format counterpart of the scipy matvecs inside
+    newton_krylov (reference sh_scipy_nk.py:31-39) and the Eigen SpMV
+    (cpp_work main.cpp:38-81)."""
+    from iterative_solvers_tpu.ops.sparse import CSR, BSR, GridDIA, sh_operator
+    from iterative_solvers_tpu.utils.roofline import spmv_cost, device_hbm_gbps
+
+    n = 1024
+    h = float(np.sqrt(8.0))  # contraction: |L| <= 0.5 so chains stay finite
+    m = sh_operator(n, h, 0.5)
+    nnz = m.nnz
+    x = jnp.array(
+        np.random.default_rng(0).standard_normal(n * n), dtype=jnp.float32
+    )
+    hbm = device_hbm_gbps()
+
+    formats = [
+        ("csr", CSR.from_scipy(m.astype(np.float32)), "csr"),
+        ("bsr8", BSR.from_scipy(m.astype(np.float32), blocksize=8), "csr"),
+        ("griddia", GridDIA.from_scipy(m.astype(np.float32), (n, n)), "dia"),
+    ]
+    for name, a, cost_fmt in formats:
+        ms = marginal_ms(chain_fn(a.matvec, x), 10, 60)
+        cost = spmv_cost(nnz, n * n, n * n, 4, fmt=cost_fmt)
+        emit(f"spmv_{name}_1024sq_nnz_per_s", nnz / ms / 1e6, "Gnnz/s")
+        emit(f"spmv_{name}_1024sq_roofline_frac",
+             cost.achieved_gbps(ms / 1e3) / hbm, "x")
+
+    # SpMM: 8 right-hand sides through the GridDIA pipeline
+    X = jnp.array(
+        np.random.default_rng(1).standard_normal((n * n, 8)),
+        dtype=jnp.float32,
+    )
+    a = formats[2][1]
+    ms = marginal_ms(chain_fn(a.matmat, X), 10, 60)
+    emit("spmm_griddia_1024sq_x8_nnz_per_s", nnz * 8 / ms / 1e6, "Gnnz/s")
+
+
 if __name__ == "__main__":
-    bench_sh_step()
-    bench_droplet_residual()
-    bench_pma_loop()
-    bench_droplet_full_step()
-    bench_poisson()
-    bench_large_sh()
-    bench_pallas_stencils()
+    sections = sys.argv[1:] or [
+        "sh_step", "droplet_residual", "pma_loop", "droplet_full_step",
+        "poisson", "large_sh", "pallas_stencils", "spmv",
+    ]
+    for s in sections:
+        globals()[f"bench_{s}"]()

@@ -20,13 +20,18 @@ import sys
 import numpy as np
 
 
+_ARG_TYPES = {"int": int, "float": float, int: int, float: float}
+
+
 def _add_config_args(p: argparse.ArgumentParser, cfg, skip=()) -> None:
     for f in dataclasses.fields(cfg):
         if f.name in skip:
             continue
-        if f.type in ("int", "float", int, float):
-            p.add_argument(f"--{f.name.replace('_', '-')}",
-                           type=eval(f.type) if isinstance(f.type, str) else f.type,
+        # under `from __future__ import annotations` f.type is the string
+        # name; map it explicitly (no eval) and skip non-scalar fields
+        arg_type = _ARG_TYPES.get(f.type)
+        if arg_type is not None:
+            p.add_argument(f"--{f.name.replace('_', '-')}", type=arg_type,
                            default=None, dest=f"cfg_{f.name}")
 
 

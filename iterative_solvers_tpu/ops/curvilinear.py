@@ -158,14 +158,30 @@ def grad_xy(v_ksi, v_eta, geom: MeshGeometry):
     return vx, vy
 
 
-def _flux_div_x(a, v, inv_h2):
+def _flux_div_x(a, v, inv_h2, edge_dtype=None):
     """Conservative 4th-order ``( a v_ksi )_ksi`` along the last axis.
 
     The discretisation of the reference's "appendix B" (droplet.py:618-668):
     interior columns 3..n-4 use the 4th-order conservative form; columns
     1, 2, n-3, n-2 use one-sided product rules; columns 0 and n-1 are zero
     (the cross-term/boundary handling lives in :func:`laplace`).
+
+    ``edge_dtype`` (e.g. ``jnp.float64``) evaluates the four one-sided
+    boundary columns in a wider dtype and casts back: their product rules
+    cancel ~``v/h^2``-scale terms that the conservative interior form avoids,
+    so at fine grids they are the f32 accuracy bottleneck.  The widened work
+    is O(Ny) — negligible even with f64 emulation on TPU.
     """
+    if edge_dtype is not None and jnp.dtype(edge_dtype) != v.dtype:
+        strip = 6  # widest one-sided formula reads 6 edge columns
+        lo = _flux_div_x(a[:, :strip].astype(edge_dtype),
+                         v[:, :strip].astype(edge_dtype), inv_h2)
+        hi = _flux_div_x(a[:, -strip:].astype(edge_dtype),
+                         v[:, -strip:].astype(edge_dtype), inv_h2)
+        out = _flux_div_x(a, v, inv_h2)
+        return jnp.concatenate(
+            [lo[:, :3].astype(v.dtype), out[:, 3:-3],
+             hi[:, -3:].astype(v.dtype)], axis=1)
     # interior columns 3..n-4
     interior = (
         4.0 * a[:, 2:-4] * (v[:, :-6] - 8.0 * v[:, 1:-5] + 8.0 * v[:, 3:-3] - v[:, 4:-2])
@@ -223,19 +239,22 @@ def _flux_div_x(a, v, inv_h2):
     )
 
 
-def laplace(v, v_ksi, v_eta, geom: MeshGeometry, grid: Grid2D):
+def laplace(v, v_ksi, v_eta, geom: MeshGeometry, grid: Grid2D,
+            edge_dtype=None):
     """Curvilinear Laplacian: returns ``(v_xx, v_yy)`` on the moving mesh.
 
     ``v_ksi``/``v_eta`` are the computational-space first derivatives of
     ``v`` (the reference passes ``M.dksiCentre @ v`` etc. — droplet.py:437).
+    ``edge_dtype`` widens the one-sided boundary-column evaluation (see
+    :func:`_flux_div_x`) — the f32 large-grid path.
     """
     j = geom.jac
     a11 = (geom.xy * geom.xy + geom.yy * geom.yy) / j
     a22 = (geom.xy * geom.xy + geom.xx * geom.xx) / j
     a12 = -(geom.xy * (geom.xx + geom.yy)) / j
 
-    v_xx = _flux_div_x(a11, v, 1.0 / (grid.dx * grid.dx))
-    v_yy = _flux_div_x(a22.T, v.T, 1.0 / (grid.dy * grid.dy)).T
+    v_xx = _flux_div_x(a11, v, 1.0 / (grid.dx * grid.dx), edge_dtype)
+    v_yy = _flux_div_x(a22.T, v.T, 1.0 / (grid.dy * grid.dy), edge_dtype).T
 
     # cross terms: (A12 v_eta)_ksi with left/right edges zeroed, and
     # (A12 v_ksi)_eta with top/bottom edges zeroed (droplet.py:670-679)

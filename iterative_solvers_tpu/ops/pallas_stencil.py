@@ -12,10 +12,15 @@ well; these kernels exist for the cases where manual control wins:
 Both run as a SINGLE kernel invocation (``grid=()``) with an internal
 ``fori_loop`` over row chunks and two-slot input/output VMEM buffers:
 while chunk *i* computes, the HBM->VMEM load of chunk *i+1* and the
-VMEM->HBM store of chunk *i-1* are in flight.  This is what lifts the
-Laplacian from ~56% to ~87% of the HBM roofline (measured at 4096², f32,
-v5e — see benchmarks/run_all.py); a grid-stepped variant with
-``pl.when``-predicated cross-step DMA stalled in Mosaic and was abandoned.
+VMEM->HBM store of chunk *i-1* are in flight.  Measured at 4096² f32 on
+v5e (tools/tune_sh_kernel.py, round 2): lap 0.195 ms = 84% of the HBM
+roofline (3.9x XLA); sh 0.267 ms = 61% in min-bytes terms (8.5x XLA).
+The sh kernel is compute-bound, not pipeline-bound: a two-pass
+implementation moves >= 4 n² dtype bytes = 0.33 ms minimum at roofline,
+so the fused kernel already beats the best possible unfused schedule by
+1.2x; block_rows=128 is optimal (256 within 5%, 512 loses pipelining to
+VMEM pressure).  A grid-stepped variant with ``pl.when``-predicated
+cross-step DMA stalled in Mosaic and was abandoned.
 
 Mosaic constraints honoured here:
 - DMA destinations in VMEM must be sublane-aligned, so the halo strips are
@@ -61,14 +66,24 @@ def _lap_rows(s, inv_h2, lo, hi):
             - 4.0 * core) * inv_h2
 
 
-def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
-                             vmem_mb=None):
+def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype):
     """Slab pipeline: ``compute((bm + 2*HALO, n) slab) -> (bm, n) block``,
-    double-buffered on both the input loads and the output stores."""
+    double-buffered on both the input loads and the output stores.
+
+    The VMEM limit is derived from the actual scratch footprint (two
+    double-buffered slab sets plus two output blocks) rather than hardcoded,
+    so larger ``block_rows`` requests compile instead of tripping a fixed cap.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nchunks = n_rows // bm
+    itemsize = jnp.dtype(dtype).itemsize
+    scratch_bytes = (2 * (bm + 2 * _HALO) + 2 * bm) * n_cols * itemsize
+    # Mosaic's scoped-vmem accounting also charges the compute body's
+    # intermediates (~4 block-sized temps for the fused double Laplacian),
+    # so budget 2.5x the declared scratch plus fixed slack.
+    vmem_limit = int(2.5 * scratch_bytes) + 8 * 1024 * 1024
 
     def kernel(u_hbm, out_hbm, slabs, outs, in_sems, out_sems):
         def in_copies(slot, idx):
@@ -151,17 +166,29 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=None if vmem_mb is None else vmem_mb * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit,
         ),
     )
 
 
+def _pallas_eligible(u, block_rows: int) -> bool:
+    """Static (trace-time) gate for the kernel path: TPU platform, f32 data
+    (Mosaic lowering here is f32-only; f64 falls back to the XLA stencils),
+    and a row count that blocks evenly."""
+    return (
+        _on_tpu()
+        and u.dtype == jnp.float32
+        and u.shape[0] % block_rows == 0
+        and u.shape[0] >= 2 * block_rows
+    )
+
+
 def lap_periodic_pallas(u, h: float, block_rows: int = 128):
-    """Double-buffered blocked periodic Laplacian (86% HBM roofline at
-    4096² f32 on v5e).  Falls back to jnp off-TPU or when the grid is too
-    small to block."""
+    """Double-buffered blocked periodic Laplacian (84% HBM roofline at
+    4096² f32 on v5e).  Falls back to jnp off-TPU, for non-f32 dtypes, or
+    when the grid is too small to block."""
     n_rows, n_cols = u.shape
-    if not _on_tpu() or n_rows % block_rows or n_rows < 2 * block_rows:
+    if not _pallas_eligible(u, block_rows):
         return stencils.lap_periodic(u, h)
 
     bm = block_rows
@@ -170,18 +197,18 @@ def lap_periodic_pallas(u, h: float, block_rows: int = 128):
     def compute(s):
         return _lap_rows(s, inv_h2, _HALO, _HALO + bm)
 
-    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype,
-                                    vmem_mb=64)(u)
+    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype)(u)
 
 
 def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128):
     """Fused L = -Lap^2 - 2 Lap + (r-1) I with a single slab load per chunk
     (double-Laplacian halo folded into the 8-row aligned strips).  The
     fusion halves HBM traffic vs two Laplacian passes; the kernel is
-    compute-bound (~60% of roofline in useful-bytes terms = ~1.2x the
-    bandwidth a two-pass implementation could ever reach)."""
+    compute-bound (61% of roofline in min-bytes terms = 1.2x the bandwidth
+    the best possible two-pass implementation could reach; 8.5x the XLA
+    lowering — measured 0.267 ms at 4096² f32 v5e, tools/tune_sh_kernel.py)."""
     n_rows, n_cols = u.shape
-    if not _on_tpu() or n_rows % block_rows or n_rows < 2 * block_rows:
+    if not _pallas_eligible(u, block_rows):
         return stencils.sh_linear_operator(u, h, r)
 
     bm = block_rows
@@ -194,5 +221,4 @@ def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128):
         core = s[_HALO:_HALO + bm, :]
         return -lap2 - 2.0 * lap1[1:-1, :] + (r - 1.0) * core
 
-    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype,
-                                    vmem_mb=64)(u)
+    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype)(u)

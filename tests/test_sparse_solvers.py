@@ -136,3 +136,50 @@ def test_fast_helmholtz():
     got = np.asarray(helmholtz_dirichlet_solve(jnp.array(f.reshape(m, m)),
                                                shift, h))
     np.testing.assert_allclose(got.reshape(-1), want, atol=1e-10)
+
+
+# -- SpMM + structured-grid DIA (round-2 additions) ---------------------------
+
+def test_spmm_formats(rand_sparse):
+    m, x, _ = rand_sparse
+    X = RNG.standard_normal((120, 7))
+    want = m @ X
+    Xj = jnp.array(X)
+    for a in (DIA.from_scipy(m), CSR.from_scipy(m),
+              BSR.from_scipy(m, blocksize=8)):
+        np.testing.assert_allclose(np.asarray(a.matmat(Xj)), want, atol=1e-12)
+
+
+def test_grid_dia_periodic_sh_operator():
+    """GridDIA must reproduce the periodic SH operator exactly — including
+    the wrap diagonals that split into two 2-D shift terms."""
+    from iterative_solvers_tpu.ops.sparse import GridDIA
+
+    n, h, r = 12, 0.7, 0.01
+    m = sh_operator(n, h, r)
+    a = GridDIA.from_scipy(m, (n, n))
+    x = RNG.standard_normal(n * n)
+    np.testing.assert_allclose(np.asarray(a.matvec(jnp.array(x))), m @ x,
+                               rtol=1e-12, atol=1e-9)
+    X = RNG.standard_normal((n * n, 5))
+    np.testing.assert_allclose(np.asarray(a.matmat(jnp.array(X))), m @ X,
+                               rtol=1e-12, atol=1e-9)
+    assert a.nnz == m.nnz
+
+
+def test_grid_dia_dirichlet_rect():
+    """Non-square grid + Dirichlet operator (no wraps)."""
+    from iterative_solvers_tpu.ops.sparse import GridDIA
+
+    ny, nx = 9, 14
+    ex = np.ones(nx - 0)
+    lap1x = sp.diags([ex[:-1], -2 * ex, ex[:-1]], [-1, 0, 1],
+                     shape=(nx, nx))
+    ey = np.ones(ny)
+    lap1y = sp.diags([ey[:-1], -2 * ey, ey[:-1]], [-1, 0, 1],
+                     shape=(ny, ny))
+    m = (sp.kron(sp.identity(ny), lap1x) + sp.kron(lap1y, sp.identity(nx))).tocsr()
+    a = GridDIA.from_scipy(m, (ny, nx))
+    x = RNG.standard_normal(ny * nx)
+    np.testing.assert_allclose(np.asarray(a.matvec(jnp.array(x))), m @ x,
+                               rtol=1e-12, atol=1e-12)
