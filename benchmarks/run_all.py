@@ -55,12 +55,18 @@ def marginal_ms(make_fn, k_short, k_long, reps=3):
     return 1000.0 * (t_l - t_s) / (k_long - k_short)
 
 
-def chain_fn(op, x0):
-    """Jitted traced-length chain ``k -> sum(op^k(x0))`` for marginal_ms."""
-    jf = jax.jit(lambda k: jnp.sum(lax.fori_loop(0, k, lambda i, x: op(x), x0)))
+def chain_fn(op, x0, *arrays):
+    """Jitted traced-length chain ``k -> sum(op^k(x0))`` for marginal_ms.
+
+    ``x0`` and any extra ``arrays`` are passed as jit *arguments* (closed-over
+    jax.Arrays would be embedded in the compile request as literals — the
+    remote-compile tunnel rejects multi-hundred-MB requests with HTTP 413).
+    ``op(x, *arrays) -> x`` when extra arrays are given."""
+    jf = jax.jit(lambda x, arrs, k: jnp.sum(
+        lax.fori_loop(0, k, lambda i, v: op(v, *arrs), x)))
 
     def f(k):
-        return jf(k)
+        return jf(x0, arrays, k)
 
     f.traced_k = True
     return f
@@ -276,25 +282,55 @@ def bench_spmv():
     )
     hbm = device_hbm_gbps()
 
+    # the containers' arrays travel as jit arguments (see chain_fn); only
+    # static metadata is closed over via _replace on a template instance
+    csr = CSR.from_scipy(m.astype(np.float32))
+    bsr = BSR.from_scipy(m.astype(np.float32), blocksize=8)
+    dia = GridDIA.from_scipy(m.astype(np.float32), (n, n))
     formats = [
-        ("csr", CSR.from_scipy(m.astype(np.float32)), "csr"),
-        ("bsr8", BSR.from_scipy(m.astype(np.float32), blocksize=8), "csr"),
-        ("griddia", GridDIA.from_scipy(m.astype(np.float32), (n, n)), "dia"),
+        ("csr", csr, (csr.data, csr.indices, csr.rows),
+         lambda v, d, i, r: csr._replace(data=d, indices=i, rows=r).matvec(v),
+         "csr"),
+        ("bsr8", bsr, (bsr.data, bsr.indices, bsr.rows),
+         lambda v, d, i, r: bsr._replace(data=d, indices=i, rows=r).matvec(v),
+         "csr"),
+        ("griddia", dia, (dia.data,),
+         lambda v, d: dia._replace(data=d).matvec(v), "dia"),
     ]
-    for name, a, cost_fmt in formats:
-        ms = marginal_ms(chain_fn(a.matvec, x), 10, 60)
+    for name, a, arrays, apply, cost_fmt in formats:
+        ms = marginal_ms(chain_fn(apply, x, *arrays), 10, 60)
         cost = spmv_cost(nnz, n * n, n * n, 4, fmt=cost_fmt)
         emit(f"spmv_{name}_1024sq_nnz_per_s", nnz / ms / 1e6, "Gnnz/s")
         emit(f"spmv_{name}_1024sq_roofline_frac",
              cost.achieved_gbps(ms / 1e3) / hbm, "x")
+
+    # Pallas GridDIA kernel (double-buffered slab pipeline; ops/pallas_spmv)
+    from iterative_solvers_tpu.ops.pallas_spmv import grid_dia_matvec_pallas
+
+    x2 = x.reshape(n, n)
+    ref = np.asarray(jax.jit(lambda d, v: dia._replace(data=d)._apply(v))(
+        dia.data, x2))
+    got = np.asarray(jax.jit(
+        lambda d, v: grid_dia_matvec_pallas(dia._replace(data=d), v))(
+        dia.data, x2))
+    scale = np.abs(ref).max()
+    assert np.abs(ref - got).max() / scale < 1e-5, "pallas spmv parity"
+    ms = marginal_ms(chain_fn(
+        lambda v, d: grid_dia_matvec_pallas(dia._replace(data=d), v),
+        x2, dia.data), 10, 60)
+    cost = spmv_cost(nnz, n * n, n * n, 4, fmt="dia")
+    emit("spmv_griddia_pallas_1024sq_nnz_per_s", nnz / ms / 1e6, "Gnnz/s")
+    emit("spmv_griddia_pallas_1024sq_roofline_frac",
+         cost.achieved_gbps(ms / 1e3) / hbm, "x")
 
     # SpMM: 8 right-hand sides through the GridDIA pipeline
     X = jnp.array(
         np.random.default_rng(1).standard_normal((n * n, 8)),
         dtype=jnp.float32,
     )
-    a = formats[2][1]
-    ms = marginal_ms(chain_fn(a.matmat, X), 10, 60)
+    ms = marginal_ms(
+        chain_fn(lambda V, d: dia._replace(data=d).matmat(V), X, dia.data),
+        10, 60)
     emit("spmm_griddia_1024sq_x8_nnz_per_s", nnz * 8 / ms / 1e6, "Gnnz/s")
 
 

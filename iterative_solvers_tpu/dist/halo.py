@@ -123,6 +123,60 @@ def pdot(a, b, axis_names):
     return lax.psum(jnp.sum(a * b), axis_names)
 
 
+def sharded_y_chain(chain, depth: int, axis_name: str):
+    """Lift a global-in-y operator chain onto row-sharded blocks.
+
+    ``chain(*blocks) -> block`` must be the ordinary single-device function
+    (same row count in as out) composed of y-direction stencils with
+    one-sided edge handling, whose total *influence depth* — the maximum of
+    (a) the stencil radius accumulated through the chain and (b) the number
+    of output rows any global-edge special formula reaches — is <= ``depth``.
+
+    The lifted body (for use inside ``shard_map``):
+
+    1. exchanges a ``depth``-row halo once per input (one fused ppermute
+       pair instead of one exchange per stencil — the comm-aggregation win
+       of the explicit path),
+    2. evaluates the UNMODIFIED chain on the extended blocks and keeps the
+       core rows — interior formulas see real neighbour data; the chain's
+       own edge handling lands in the discarded halo rows,
+    3. re-evaluates the chain on a thin strip at the true domain edges
+       (where the one-sided formulas are *supposed* to fire) and patches the
+       first/last ``depth`` rows on the global edge shards.
+
+    Reusing the single-device chain verbatim means the sharded operator is
+    correct by construction wherever the single-device one is; the only new
+    requirement is ``block_rows >= 2 * depth + 8`` so the edge strips hold
+    the full one-sided influence.
+    """
+
+    def lifted(*blocks):
+        n = lax.axis_size(axis_name)
+        if n == 1:
+            return chain(*blocks)
+        bm = blocks[0].shape[0]
+        s = 2 * depth + 8
+        if bm < s:
+            raise ValueError(
+                f"sharded_y_chain: {bm} block rows < {s} needed for "
+                f"depth={depth} (use fewer shards or a bigger grid)")
+        idx = lax.axis_index(axis_name)
+        exts = []
+        for b in blocks:
+            lo, hi = halo_exchange_1d(b, depth, axis_name, axis=0,
+                                      periodic=False)
+            exts.append(jnp.concatenate([lo, b, hi], axis=0))
+        core = chain(*exts)[depth:-depth]
+        lo_out = chain(*(e[depth:depth + s] for e in exts))[:depth]
+        hi_out = chain(*(e[-(depth + s):e.shape[0] - depth] for e in exts))[-depth:]
+        core = core.at[:depth].set(jnp.where(idx == 0, lo_out, core[:depth]))
+        core = core.at[-depth:].set(
+            jnp.where(idx == n - 1, hi_out, core[-depth:]))
+        return core
+
+    return lifted
+
+
 def grid_sharding(mesh: Mesh, axis_names: tuple[str, str] = ("y", "x")):
     return NamedSharding(mesh, P(*axis_names))
 

@@ -73,6 +73,86 @@ def solve_pma(mon, jac, grid: Grid2D, params: PMAParams):
     return dqdt.astype(out_dtype)
 
 
+def neumann_laplacian(v, grid: Grid2D):
+    """3-point computational-space Laplacian with half-sample-symmetric
+    (DCT-II) Neumann closure, over the reference's mixed ``dx*dy`` spacing.
+
+    This is the stencil form of the operator the spectral PMA solve inverts:
+    the DCT-II basis diagonalises it exactly with eigenvalues
+    ``(2 cos(pi k / N) - 2) / (dx dy)`` per axis.  (The reference's ``Leig``
+    uses ``pi k / (N-1)`` frequencies — droplet.py:830-833, an O(1/N)
+    inconsistency reproduced verbatim in :func:`pma_leig`; the iterative
+    path below solves the *consistent* operator instead.)
+
+    Being a width-1 stencil, it is the distribution-friendly PMA operator:
+    sharded application needs only a 1-row halo exchange (see dist.droplet),
+    vs the all-gather-heavy distributed DCT matmuls.
+    """
+    lap_y = (jnp.concatenate([v[1:2] - v[:1],
+                              v[:-2] + v[2:] - 2.0 * v[1:-1],
+                              v[-2:-1] - v[-1:]], axis=0))
+    lap_x = (jnp.concatenate([v[:, 1:2] - v[:, :1],
+                              v[:, :-2] + v[:, 2:] - 2.0 * v[:, 1:-1],
+                              v[:, -2:-1] - v[:, -1:]], axis=1))
+    return (lap_y + lap_x) / (grid.dx * grid.dy)
+
+
+def shifted_neumann_eig_bounds(grid: Grid2D, gamma: float):
+    """Exact extreme eigenvalues of ``I - gamma * neumann_laplacian``."""
+    ey = 2.0 - 2.0 * np.cos(np.pi * (grid.ny - 1) / grid.ny)
+    ex = 2.0 - 2.0 * np.cos(np.pi * (grid.nx - 1) / grid.nx)
+    return 1.0, 1.0 + gamma * (ey + ex) / (grid.dx * grid.dy)
+
+
+def solve_shifted_neumann(rhs, grid: Grid2D, params: PMAParams, *,
+                          method: str = "chebyshev", tol: float = 1e-8,
+                          lap: Callable | None = None, maxiter: int = 2000):
+    """Iteratively solve ``(I - gamma lap_neumann) x = rhs`` — the
+    halo-only alternative to the spectral PMA solve (SURVEY §7's planned
+    "Krylov solve of (I - gamma grad^2)"; VERDICT round-1 item 7).
+
+    ``method="chebyshev"`` runs a fixed-count Chebyshev iteration with the
+    *exact* analytic eigenvalue bounds — zero inner products, so a sharded
+    run communicates only the stencil halos (no all-reduces at all).
+    ``method="cg"`` uses conjugate gradients (inner products become psums
+    when sharded).  ``lap`` overrides the Laplacian application (e.g. the
+    explicit-halo sharded chain from dist.droplet).
+    """
+    gamma = params.gamma
+    lap_fn = lap if lap is not None else (lambda v: neumann_laplacian(v, grid))
+    op = lambda v: v - gamma * lap_fn(v)
+    lam_min, lam_max = shifted_neumann_eig_bounds(grid, gamma)
+
+    if method == "cg":
+        from ..solvers.cg import cg
+
+        return cg(op, rhs, tol=tol, maxiter=maxiter).x
+
+    # Chebyshev iteration (Saad, "Iterative Methods for Sparse Linear
+    # Systems", alg. 12.1) with a static iteration count from the
+    # convergence factor rho = (sqrt(kappa)-1)/(sqrt(kappa)+1)
+    kappa = lam_max / lam_min
+    conv = (np.sqrt(kappa) - 1.0) / (np.sqrt(kappa) + 1.0)
+    iters = min(maxiter,
+                max(3, int(np.ceil(np.log(tol / 2.0) / np.log(conv)))))
+    theta = jnp.asarray((lam_max + lam_min) / 2.0, rhs.dtype)
+    delta = jnp.asarray((lam_max - lam_min) / 2.0, rhs.dtype)
+    sigma = theta / delta
+
+    def body(_, state):
+        x, r, dvec, rho_prev = state
+        x = x + dvec
+        r = r - op(dvec)
+        rho = 1.0 / (2.0 * sigma - rho_prev)
+        dvec = rho * rho_prev * dvec + (2.0 * rho / delta) * r
+        return (x, r, dvec, rho)
+
+    x0 = jnp.zeros_like(rhs)
+    state = (x0, rhs, rhs / theta, 1.0 / sigma)
+    x, r, dvec, _ = lax.fori_loop(0, iters, body, state)
+    return x
+
+
 def pma_dqdt(q, u, grid: Grid2D, params: PMAParams,
              monitor_source: Callable, geometry_fn: Callable | None = None):
     """Full chain: geometry -> monitor source -> smoothing -> spectral solve.

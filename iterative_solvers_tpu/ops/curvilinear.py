@@ -82,7 +82,7 @@ def mesh_geometry(q, grid: Grid2D) -> MeshGeometry:
     return MeshGeometry(x=qx, y=qy, xx=qxx, yy=qyy, xy=qxy, jac=jac)
 
 
-def mesh_geometry_dev(phi, grid: Grid2D) -> MeshGeometry:
+def mesh_geometry_dev(phi, grid: Grid2D, coords=None) -> MeshGeometry:
     """Mesh geometry from the *deviation* potential: ``Q = (x^2+y^2)/2 + phi``.
 
     Numerically-robust reformulation for large grids: the finite-difference
@@ -97,6 +97,10 @@ def mesh_geometry_dev(phi, grid: Grid2D) -> MeshGeometry:
     exactly for the identity part), so the one-sided second-derivative
     corrections vanish and the cross-derivative is zero on the boundary as
     in :func:`mesh_geometry`.
+
+    ``coords=(xx, yy)`` overrides the grid's full coordinate fields — used by
+    the explicit-halo distributed path (dist.droplet), where ``phi`` is a
+    halo-extended row block and the coordinate blocks must match its rows.
     """
     dx, dy = grid.dx, grid.dy
 
@@ -111,8 +115,12 @@ def mesh_geometry_dev(phi, grid: Grid2D) -> MeshGeometry:
     pxy = pxy.at[:, 0].set(0.0).at[:, -1].set(0.0)
     pxy = pxy.at[0, :].set(0.0).at[-1, :].set(0.0)
 
-    xx_id = jnp.asarray(grid.xx, phi.dtype)
-    yy_id = jnp.asarray(grid.yy, phi.dtype)
+    if coords is None:
+        xx_id = jnp.asarray(grid.xx, phi.dtype)
+        yy_id = jnp.asarray(grid.yy, phi.dtype)
+    else:
+        xx_id = coords[0].astype(phi.dtype)
+        yy_id = coords[1].astype(phi.dtype)
     qxx = 1.0 + pxx
     qyy = 1.0 + pyy
     jac = qxx * qyy - pxy * pxy

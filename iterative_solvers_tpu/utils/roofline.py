@@ -53,3 +53,104 @@ def device_hbm_gbps() -> float:
         if k in kind:
             return v
     return HBM_GBPS["cpu"]
+
+
+# -- communication accounting (SURVEY §5.7/§5.8; VERDICT r1 item 6) -----------
+
+# v5e ICI: 4 links/chip x ~100 GB/s effective half-duplex per direction is
+# commonly quoted as ~100 GB/s/link; keep a conservative per-neighbour figure.
+ICI_GBPS_PER_LINK = 100.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CommStats:
+    """Collective traffic of one compiled step, counted from the HLO."""
+
+    collective_permute_count: int
+    all_reduce_count: int
+    all_gather_count: int
+    reduce_scatter_count: int
+    permute_bytes: int        # sum of collective-permute operand bytes
+    all_gather_bytes: int
+
+    @property
+    def total_comm_bytes(self) -> int:
+        return self.permute_bytes + self.all_gather_bytes
+
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "s8": 1, "u8": 1}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """Bytes of an HLO shape string like 'f32[12,48]{1,0}' (0 if opaque)."""
+    import re
+
+    total = 0
+    for m in re.finditer(r"(f64|f32|bf16|f16|s32|u32|s8|u8|pred)\[([\d,]*)\]",
+                         shape_str):
+        dt, dims = m.group(1), m.group(2)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+        break  # first shape on the line = the op's result shape
+    return total
+
+
+def comm_stats_from_compiled(compiled) -> CommStats:
+    """Count collectives (and their operand bytes) in a compiled executable.
+
+    ``compiled`` is the result of ``jax.jit(f).lower(*args).compile()``.
+    Byte counts use each collective's result shape — for permutes that is
+    exactly the halo strip moved per device pair; for all-gathers the
+    gathered result.
+    """
+    txt = compiled.as_text()
+    cp = ar = ag = rs = 0
+    cp_bytes = ag_bytes = 0
+    for line in txt.splitlines():
+        s = line.strip()
+        if "collective-permute" in s and "=" in s and "start" not in s:
+            cp += 1
+            cp_bytes += _shape_bytes(s.split("=", 1)[1])
+        elif "all-reduce" in s and "=" in s and "start" not in s:
+            ar += 1
+        elif "all-gather" in s and "=" in s and "start" not in s:
+            ag += 1
+            ag_bytes += _shape_bytes(s.split("=", 1)[1])
+        elif "reduce-scatter" in s and "=" in s:
+            rs += 1
+    return CommStats(collective_permute_count=cp, all_reduce_count=ar,
+                     all_gather_count=ag, reduce_scatter_count=rs,
+                     permute_bytes=cp_bytes, all_gather_bytes=ag_bytes)
+
+
+def halo_step_model(ny: int, nx: int, n_devices: int, halo_rows: int,
+                    exchanges_per_step: int, dtype_bytes: int,
+                    compute_passes: int, hbm_gbps: float | None = None,
+                    ici_gbps: float = ICI_GBPS_PER_LINK) -> dict:
+    """Analytic comm/compute model of a row-sharded stencil step.
+
+    Per device and step: compute touches ``compute_passes`` full passes over
+    its ``(ny/n_devices, nx)`` block; communication moves ``halo_rows x nx``
+    strips to each of two neighbours, ``exchanges_per_step`` times.  Returns
+    bytes, times, the comm/compute ratio, and the projected weak-scaling
+    efficiency  eff = t_compute / (t_compute + t_comm)  (halo comm does not
+    shrink with more devices at fixed per-device block — the weak-scaling
+    regime)."""
+    if hbm_gbps is None:
+        hbm_gbps = device_hbm_gbps()
+    block_rows = ny // n_devices
+    compute_bytes = compute_passes * 2 * block_rows * nx * dtype_bytes
+    comm_bytes = exchanges_per_step * 2 * halo_rows * nx * dtype_bytes
+    t_compute = compute_bytes / (hbm_gbps * 1e9)
+    t_comm = comm_bytes / (ici_gbps * 1e9)
+    return {
+        "block_rows": block_rows,
+        "compute_bytes": compute_bytes,
+        "comm_bytes": comm_bytes,
+        "comm_compute_ratio": comm_bytes * hbm_gbps / (compute_bytes * ici_gbps),
+        "weak_scaling_efficiency": t_compute / (t_compute + t_comm),
+    }
