@@ -323,6 +323,34 @@ def bench_spmv():
     emit("spmv_griddia_pallas_1024sq_roofline_frac",
          cost.achieved_gbps(ms / 1e3) / hbm, "x")
 
+    # flat-DIA kernel on the Dirichlet 5-pt Laplacian (lab14_p2's operator,
+    # all offsets near-diagonal): one stored field per flat diagonal — the
+    # minimal-traffic diagonal layout
+    from iterative_solvers_tpu.ops.sparse import DIA, laplacian_5pt_dirichlet
+    from iterative_solvers_tpu.ops.pallas_spmv import dia_flat_matvec_pallas
+
+    md = (laplacian_5pt_dirichlet(n + 1, 2.0) * 0.2).astype(np.float32)
+    dflat = DIA.from_scipy(md)
+    nnz_d = md.nnz
+    xd = jnp.array(
+        np.random.default_rng(2).standard_normal(n * n), dtype=jnp.float32
+    )
+    ref = np.asarray(jax.jit(
+        lambda d, v: dflat._replace(data=d).matvec(v))(dflat.data, xd))
+    got = np.asarray(jax.jit(
+        lambda d, v: dia_flat_matvec_pallas(dflat._replace(data=d), (n, n), v))(
+        dflat.data, xd))
+    assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
+        "flat dia pallas parity"
+    ms = marginal_ms(chain_fn(
+        lambda v, d: dia_flat_matvec_pallas(dflat._replace(data=d), (n, n), v),
+        xd, dflat.data), 10, 60)
+    cost = spmv_cost(nnz_d, n * n, n * n, 4, fmt="dia")
+    emit("spmv_diaflat_pallas_dirichlet_1024sq_nnz_per_s", nnz_d / ms / 1e6,
+         "Gnnz/s")
+    emit("spmv_diaflat_pallas_dirichlet_1024sq_roofline_frac",
+         cost.achieved_gbps(ms / 1e3) / hbm, "x")
+
     # SpMM: 8 right-hand sides through the GridDIA pipeline
     X = jnp.array(
         np.random.default_rng(1).standard_normal((n * n, 8)),

@@ -33,10 +33,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # JAX >= 0.4.35
-    from jax.experimental.shard_map import shard_map
+try:  # JAX >= 0.8
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 from ..core.grid import Grid2D
 from ..models import droplet as dp
@@ -81,7 +81,11 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
     """
     grid = cfg.grid
     spec = P(axis_name, None)
-    smap = partial(shard_map, mesh=mesh, check_rep=False)
+    import inspect
+
+    _check_kw = ("check_vma" if "check_vma"
+                 in inspect.signature(shard_map).parameters else "check_rep")
+    smap = partial(shard_map, mesh=mesh, **{_check_kw: False})
 
     def sharded(chain, depth, n_in):
         return smap(sharded_y_chain(chain, depth, axis_name),

@@ -24,10 +24,10 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # JAX >= 0.4.35
-    from jax.experimental.shard_map import shard_map
+try:  # JAX >= 0.8
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 
 def _ring_perm(n: int, shift: int):

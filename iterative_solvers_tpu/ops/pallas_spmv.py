@@ -1,21 +1,24 @@
-"""Pallas TPU SpMV for the structured-grid DIA format (GridDIA).
+"""Pallas TPU SpMV kernels for diagonal sparse formats.
 
-BASELINE.json's metric line is "SpMV nnz/s + GB/s per chip".  The XLA
-shift-pipeline form of :meth:`.sparse.GridDIA.matvec` reaches ~34% of the
-HBM roofline at 1024² (13 pts/row); this kernel streams the coefficient
-fields and the vector through the same double-buffered slab pipeline as
-ops.pallas_stencil and closes most of the remaining gap.
+BASELINE.json's metric line is "SpMV nnz/s + GB/s per chip".  Two kernels,
+both double-buffered slab pipelines (same DMA structure as
+ops.pallas_stencil):
 
-Correctness hinges on a GridDIA invariant (guaranteed by
-``GridDIA.from_scipy``): a coefficient field is zero wherever its shift
-would read outside the grid.  The kernel therefore needs no masking at
-all — halo rows beyond the domain edge are loaded as (finite) duplicates
-and wrapped lane rolls read the cyclic neighbour, but both are multiplied
-by structurally-zero coefficients.
+- :func:`grid_dia_matvec_pallas` — GridDIA (2-D shift terms).  Simple
+  compute (one roll per term) but flat-diagonal wrap residues double the
+  number of stored coefficient fields (~26 for a 13-point operator), so
+  its *useful*-bytes ceiling is ~55%.
+- :func:`dia_flat_matvec_pallas` — row-aligned flat DIA (the ``DIA``
+  container) viewed on a ``(ny, nx)`` grid.  One coefficient field per
+  flat diagonal (13 for the 13-point operator): each term reads two
+  row-shifted copies of the lane-rolled slab and selects by column
+  (a flat shift ``off = q*nx + s`` lands on row ``r+q`` for columns
+  ``c < nx-s`` and row ``r+q+1`` for the wrapped tail).  Half the HBM
+  traffic of the GridDIA kernel — the fast path.
 
-Traffic per block: the (nterms, bm, n) coefficient chunk dominates; x is
-read once with an 8-row halo and y written once, so the kernel is a pure
-streaming workload — exactly what the double-buffered DMA pipeline hides.
+Correctness in both relies on the containers' invariant that coefficients
+are zero wherever a shift would read outside the matrix, so halo garbage
+(clamped row duplicates, cyclic lane wraps) is annihilated without masks.
 """
 from __future__ import annotations
 
@@ -23,29 +26,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .sparse import GridDIA
+from .sparse import DIA, GridDIA
 from .pallas_stencil import _on_tpu
 
-_HALO = 8  # f32 sublane tile height; also the max supported |dy|
+_HALO = 8  # f32 sublane tile height; also the max supported |row shift|
 
 
-def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
-    """``y = A @ x`` on the 2-D grid view; falls back to the XLA pipeline
-    off-TPU, for non-f32 dtypes, for unaligned shapes, or |dy| > 8."""
-    ny, nx = a.grid
-    max_dy = max((abs(dy) for dy, _ in a.shifts), default=0)
-    if (not _on_tpu() or x2.dtype != jnp.float32
-            or a.data.dtype != jnp.float32
-            or ny % block_rows or ny < 2 * block_rows or max_dy > _HALO):
-        return a._apply(x2)
-
+def _spmv_pipeline(ny, nx, bm, ndiags, compute):
+    """Double-buffered slab pipeline: stream x (with an 8-row clamped halo)
+    and the (ndiags, bm, nx) coefficient chunks; ``compute(slab, dchunk)``
+    returns the (bm, nx) output block."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bm = block_rows
     nchunks = ny // bm
-    nterms = len(a.shifts)
-    shifts = a.shifts
 
     def kernel(x_hbm, d_hbm, out_hbm, xs, ds, outs, x_sems, d_sems, out_sems):
         def x_copies(slot, idx):
@@ -55,8 +49,6 @@ def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
                 xs.at[slot, pl.ds(_HALO, bm), :],
                 x_sems.at[slot, jnp.int32(0)],
             )
-            # clamped halo sources: beyond-edge rows are duplicates whose
-            # products are killed by structurally-zero coefficients
             top_src = pl.multiple_of(
                 jnp.where(idx == 0, jnp.int32(0), start - jnp.int32(_HALO)),
                 _HALO)
@@ -112,16 +104,7 @@ def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
             def _():
                 out_copy(slot, idx - jnp.int32(2)).wait()
 
-            slab = xs[slot]
-            dchunk = ds[slot]
-            acc = jnp.zeros((bm, nx), jnp.float32)
-            for k, (dy, dx) in enumerate(shifts):
-                rows = slab[_HALO + dy:_HALO + dy + bm, :]
-                if dx % nx:
-                    rows = pltpu.roll(rows, shift=jnp.int32((-dx) % nx),
-                                      axis=1)
-                acc = acc + dchunk[k] * rows
-            outs[slot] = acc
+            outs[slot] = compute(xs[slot], ds[slot])
             out_copy(slot, idx).start()
             return jnp.int32(0)
 
@@ -133,7 +116,8 @@ def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
         out_copy(jnp.int32((nchunks - 1) % 2), jnp.int32(nchunks - 1)).wait()
 
     itemsize = 4
-    scratch_bytes = (2 * (bm + 2 * _HALO) + 2 * nterms * bm + 2 * bm) * nx * itemsize
+    scratch_bytes = ((2 * (bm + 2 * _HALO) + 2 * ndiags * bm + 2 * bm)
+                     * nx * itemsize)
     vmem_limit = int(1.4 * scratch_bytes) + 8 * 1024 * 1024
 
     return pl.pallas_call(
@@ -145,7 +129,7 @@ def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
         out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, bm + 2 * _HALO, nx), jnp.float32),
-            pltpu.VMEM((2, nterms, bm, nx), jnp.float32),
+            pltpu.VMEM((2, ndiags, bm, nx), jnp.float32),
             pltpu.VMEM((2, bm, nx), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -155,4 +139,71 @@ def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
             has_side_effects=True,
             vmem_limit_bytes=vmem_limit,
         ),
-    )(x2, a.data)
+    )
+
+
+def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
+    """``y = A @ x`` on the 2-D grid view; falls back to the XLA pipeline
+    off-TPU, for non-f32 dtypes, for unaligned shapes, or |dy| > 8."""
+    ny, nx = a.grid
+    max_dy = max((abs(dy) for dy, _ in a.shifts), default=0)
+    if (not _on_tpu() or x2.dtype != jnp.float32
+            or a.data.dtype != jnp.float32
+            or ny % block_rows or ny < 2 * block_rows or max_dy > _HALO):
+        return a._apply(x2)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm = block_rows
+    shifts = a.shifts
+
+    def compute(slab, dchunk):
+        acc = jnp.zeros((bm, nx), jnp.float32)
+        for k, (dy, dx) in enumerate(shifts):
+            rows = slab[_HALO + dy:_HALO + dy + bm, :]
+            if dx % nx:
+                rows = pltpu.roll(rows, shift=jnp.int32((-dx) % nx), axis=1)
+            acc = acc + dchunk[k] * rows
+        return acc
+
+    return _spmv_pipeline(ny, nx, bm, len(shifts), compute)(x2, a.data)
+
+
+def dia_flat_matvec_pallas(a: DIA, grid: tuple[int, int], x,
+                           block_rows: int = 64):
+    """``y = A @ x`` for a row-aligned flat DIA matrix viewed on a
+    ``(ny, nx)`` grid — one stored field per flat diagonal (the minimal-
+    traffic layout).  Falls back to ``a.matvec`` when ineligible."""
+    ny, nx = grid
+    assert a.n == ny * nx
+    qs = [off // nx for off in a.offsets]
+    if (not _on_tpu() or x.dtype != jnp.float32
+            or a.data.dtype != jnp.float32
+            or ny % block_rows or ny < 2 * block_rows
+            or any(not (-_HALO <= q <= _HALO - 1) for q in qs)):
+        return a.matvec(x)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm = block_rows
+    x2 = x.reshape(ny, nx)
+    d3 = a.data.reshape(len(a.offsets), ny, nx)
+    col = lax.broadcasted_iota(jnp.int32, (bm, nx), 1)
+
+    def compute(slab, dchunk):
+        acc = jnp.zeros((bm, nx), jnp.float32)
+        for k, off in enumerate(a.offsets):
+            q, s = divmod(off, nx)   # off = q*nx + s, 0 <= s < nx
+            lo = slab[_HALO + q:_HALO + q + bm, :]
+            hi = slab[_HALO + q + 1:_HALO + q + 1 + bm, :]
+            if s == 0:
+                acc = acc + dchunk[k] * lo
+                continue
+            roll = jnp.int32(nx - s)  # x[r', (c+s) mod nx] at column c
+            lo = pltpu.roll(lo, shift=roll, axis=1)
+            hi = pltpu.roll(hi, shift=roll, axis=1)
+            acc = acc + dchunk[k] * jnp.where(col < jnp.int32(nx - s), lo, hi)
+        return acc
+
+    out = _spmv_pipeline(ny, nx, bm, len(a.offsets), compute)(x2, d3)
+    return out.reshape(x.shape)

@@ -207,3 +207,31 @@ def test_mems_trajectory_parity():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(q), g["q"].reshape(grid.shape),
                                atol=1e-8)
+
+
+def test_droplet_trajectory_parity():
+    """Six evolve_with_PDE steps vs the scipy-run golden trajectory
+    (tools/make_golden.py::golden_droplet_trajectory) — gates evolve()'s
+    dt-scale law, JFNK, and PMA interleaving end-to-end (VERDICT r1 #8)."""
+    g = np.load(FIX / "golden_droplet_traj.npz")
+    fixture = fx.load(REFDIR / "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt")
+    cfg = fx.config_for(fixture)
+    grid = cfg.grid
+    nsteps = int(g["dts"].shape[0])
+
+    from iterative_solvers_tpu.solvers.newton import NewtonKrylov
+
+    u, q, t, (iters, f_norms, dts) = dp.evolve(
+        cfg, jnp.array(fixture.u), jnp.array(fixture.q),
+        dt=float(g["dt"]), nsteps=nsteps, dtmesh=float(g["dtmesh"]),
+        pma_loops=int(g["pmaloops"]),
+        solver=NewtonKrylov(f_tol=1e-7, maxiter=20),
+    )
+    # the dt-scale sequence must track the reference's to high accuracy
+    np.testing.assert_allclose(np.asarray(dts), g["dts"], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u),
+                               g["u_traj"][-1].reshape(grid.shape),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q),
+                               g["q_traj"][-1].reshape(grid.shape),
+                               atol=1e-7)

@@ -220,6 +220,52 @@ def golden_rect_step():
     print("rect full-step golden written")
 
 
+def golden_droplet_trajectory():
+    """Six steps of evolve_with_PDE's actual loop (droplet.py:360-411:
+    dt_n = dt*scale with the lagged scale law, JFNK at f_tol=1e-7, PMA
+    sub-loop driven by the *old* solution) from the coalescence fixture at
+    dt=1e-5 — gates evolve()'s step/scale/PMA interleaving end-to-end."""
+    from scipy.optimize import newton_krylov
+
+    d = load_patched("droplet.py", {"plot3d_bool = True": "plot3d_bool = False"})
+    d["epsilon_"] = 0.005
+    Q, U, P = d["Q"], d["U"], d["P"]
+
+    fix = np.loadtxt(REF / "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt")
+    U.new = fix[:, 0].copy()
+    Q.val = fix[:, 1].copy()
+    d["make_Ibdy"]()
+    d["make_M"]()
+
+    dt, dtmesh, pmaloops, nsteps = 1e-5, 3e-9, 5, 6
+    scale = 1.0
+    dts, u_traj, q_traj = [], [], []
+    for _ in range(nsteps):
+        dt_n = dt * scale
+        U.val = U.new.copy()
+        d["compute_Q_spatial_ders"]()
+        d["J"] = Q.d2ksi * Q.d2eta - Q.dksideta ** 2
+        d["compute_u_spatial_ders"]()
+        P.val = d["pressure"](U.val, U.xx, U.yy)
+        d["compute_P_spatial_ders"]()
+        F = d["pde_rhs"](U.val, U.xx, U.yy)
+        U.new = newton_krylov(lambda u: d["residual"](u, F, dt_n), U.val,
+                              maxiter=20, f_tol=1e-7)
+        d["loop_pma"](dtmesh, pmaloops)
+        dts.append(dt_n)
+        u_traj.append(U.new.copy())
+        q_traj.append(Q.val.copy())
+        scale += np.exp(-10 * np.linalg.norm(U.new - U.val))
+
+    np.savez(
+        OUT / "golden_droplet_traj.npz",
+        u0=fix[:, 0], q0=fix[:, 1], dt=dt, dtmesh=dtmesh,
+        pmaloops=pmaloops, dts=np.asarray(dts),
+        u_traj=np.asarray(u_traj), q_traj=np.asarray(q_traj),
+    )
+    print("droplet trajectory golden written")
+
+
 def golden_pma2_trajectory():
     """Three steps of PMA2_nk.py's actual main loop (operator-split CN/JFNK
     + explicit mesh update) from the zero initial state."""

@@ -27,7 +27,7 @@ def grid_lap(n, bm, inv_h2):
         out[...] = (s[:-2, :] + s[2:, :] + left[1:-1, :] + right[1:-1, :]
                     - 4.0 * mid) * inv_h2
 
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(n // bm,),
         in_specs=[
@@ -40,6 +40,9 @@ def grid_lap(n, bm, inv_h2):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
     )
+    # three in_specs are three *views* of the same field (core + wrapped
+    # halo strips) — pass u for all of them
+    return lambda x: call(x, x, x)
 
 
 def grid_copy(n, bm):

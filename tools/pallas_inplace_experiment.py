@@ -64,10 +64,22 @@ def main():
                                  dtype=jnp.float32))
     bytes_min = 2 * n * n * 4
 
-    def bench(op, label):
+    def bench(op, label, bm):
         def make(k):
             return jax.jit(lambda x: jnp.sum(
                 lax.fori_loop(0, k, lambda i, y: op(y), x)))
+
+        # honesty checks (advisor round-1): (a) the timed loop includes the
+        # host-graph halo-snapshot construction — account its traffic when
+        # quoting GB/s; (b) XLA may insert a defensive copy for the aliased
+        # buffer inside the loop carry — count full-array copies in the HLO.
+        nc = n // bm
+        snapshot_bytes = 2 * 2 * nc * H * n * 4   # read+write of both strips
+        hlo = make(4).lower(u).compile().as_text()
+        big_copies = sum(
+            1 for line in hlo.splitlines()
+            if " copy(" in line and f"f32[{n},{n}]" in line
+        )
 
         def run(k):
             f = make(k)
@@ -81,9 +93,11 @@ def main():
 
         t_s, t_l = run(25), run(200)
         ms = 1000.0 * (t_l - t_s) / 175
-        print("%-30s %.4f ms  %.1f GB/s  %.3f roofline"
+        print("%-30s %.4f ms  %.1f GB/s min-bytes (%.1f incl snapshots)  "
+              "%.3f roofline  full-array copies in HLO: %d"
               % (label, ms, bytes_min / ms / 1e6,
-                 bytes_min / ms / 1e6 / 819.0))
+                 (bytes_min + snapshot_bytes) / ms / 1e6,
+                 bytes_min / ms / 1e6 / 819.0, big_copies))
 
     # parity first (two sizes, repeated runs to catch racy behaviour)
     import sys
@@ -102,7 +116,7 @@ def main():
               f"{max(errs):.3e}")
 
     for bm in (128, 256, 512):
-        bench(lap_inplace(n, bm, inv_h2), f"inplace lap bm={bm}")
+        bench(lap_inplace(n, bm, inv_h2), f"inplace lap bm={bm}", bm)
 
 
 if __name__ == "__main__":
