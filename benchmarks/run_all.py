@@ -298,7 +298,10 @@ def bench_spmv():
          lambda v, d: dia._replace(data=d).matvec(v), "dia"),
     ]
     for name, a, arrays, apply, cost_fmt in formats:
-        ms = marginal_ms(chain_fn(apply, x, *arrays), 10, 60)
+        # slow gather formats give a large marginal signal at short chains;
+        # long chains on the CSR gather path crash the TPU worker
+        ks, kl = ((10, 60) if name in ("csr", "bsr8") else (50, 400))
+        ms = marginal_ms(chain_fn(apply, x, *arrays), ks, kl, reps=5)
         cost = spmv_cost(nnz, n * n, n * n, 4, fmt=cost_fmt)
         emit(f"spmv_{name}_1024sq_nnz_per_s", nnz / ms / 1e6, "Gnnz/s")
         emit(f"spmv_{name}_1024sq_roofline_frac",
@@ -317,7 +320,7 @@ def bench_spmv():
     assert np.abs(ref - got).max() / scale < 1e-5, "pallas spmv parity"
     ms = marginal_ms(chain_fn(
         lambda v, d: grid_dia_matvec_pallas(dia._replace(data=d), v),
-        x2, dia.data), 10, 60)
+        x2, dia.data), 50, 400, reps=5)
     cost = spmv_cost(nnz, n * n, n * n, 4, fmt="dia")
     emit("spmv_griddia_pallas_1024sq_nnz_per_s", nnz / ms / 1e6, "Gnnz/s")
     emit("spmv_griddia_pallas_1024sq_roofline_frac",
@@ -344,7 +347,7 @@ def bench_spmv():
         "flat dia pallas parity"
     ms = marginal_ms(chain_fn(
         lambda v, d: dia_flat_matvec_pallas(dflat._replace(data=d), (n, n), v),
-        xd, dflat.data), 10, 60)
+        xd, dflat.data), 50, 400, reps=5)
     cost = spmv_cost(nnz_d, n * n, n * n, 4, fmt="dia")
     emit("spmv_diaflat_pallas_dirichlet_1024sq_nnz_per_s", nnz_d / ms / 1e6,
          "Gnnz/s")
@@ -358,7 +361,7 @@ def bench_spmv():
     )
     ms = marginal_ms(
         chain_fn(lambda V, d: dia._replace(data=d).matmat(V), X, dia.data),
-        10, 60)
+        25, 200, reps=5)
     emit("spmm_griddia_1024sq_x8_nnz_per_s", nnz * 8 / ms / 1e6, "Gnnz/s")
 
 

@@ -188,20 +188,27 @@ def dia_flat_matvec_pallas(a: DIA, grid: tuple[int, int], x,
     bm = block_rows
     x2 = x.reshape(ny, nx)
     d3 = a.data.reshape(len(a.offsets), ny, nx)
-    col = lax.broadcasted_iota(jnp.int32, (bm, nx), 1)
 
     def compute(slab, dchunk):
+        # built inside the kernel: pallas_call cannot capture array consts
+        col = lax.broadcasted_iota(jnp.int32, (bm, nx), 1)
+        # one rolled copy of the WHOLE slab per distinct lane shift s —
+        # diagonals sharing s (e.g. +1 and +nx+1) reuse it, and each
+        # diagonal's lo/hi row pair are both slices of the same rolled slab
+        rolled = {0: slab}
+        for off in a.offsets:
+            s = off % nx
+            if s and s not in rolled:
+                rolled[s] = pltpu.roll(slab, shift=jnp.int32(nx - s), axis=1)
         acc = jnp.zeros((bm, nx), jnp.float32)
         for k, off in enumerate(a.offsets):
             q, s = divmod(off, nx)   # off = q*nx + s, 0 <= s < nx
-            lo = slab[_HALO + q:_HALO + q + bm, :]
-            hi = slab[_HALO + q + 1:_HALO + q + 1 + bm, :]
+            rs = rolled[s]           # rs[r, c] = x[r, (c+s) mod nx]
+            lo = rs[_HALO + q:_HALO + q + bm, :]
             if s == 0:
                 acc = acc + dchunk[k] * lo
                 continue
-            roll = jnp.int32(nx - s)  # x[r', (c+s) mod nx] at column c
-            lo = pltpu.roll(lo, shift=roll, axis=1)
-            hi = pltpu.roll(hi, shift=roll, axis=1)
+            hi = rs[_HALO + q + 1:_HALO + q + 1 + bm, :]
             acc = acc + dchunk[k] * jnp.where(col < jnp.int32(nx - s), lo, hi)
         return acc
 

@@ -72,35 +72,48 @@ class BDF:
             return y_new - c1 * y_n + c2 * y_nm1 - beta * dt * f(t_new, y_new)
 
         def body(state):
-            (t, dt, y, y_prev, dt_prev, have_two, steps, rejected, nfail,
-             done) = state
+            (t, dt, y, y_prev, y_prev2, dt_prev, dt_prev2, have_two,
+             have_three, steps, rejected, nfail, done) = state
             dt_eff = jnp.minimum(dt, t1 - t)
             t_new = t + dt_eff
             rho = dt_eff / dt_prev
 
-            # predictor: linear extrapolation through (y_prev, y)
-            y_pred = jnp.where(have_two, y + rho * (y - y_prev), y)
+            # predictors: linear extrapolation through (y_prev, y), and —
+            # once three history points exist — quadratic extrapolation.
+            # The error estimate needs the quadratic one: BDF2's LTE is
+            # O(h^3) while (corrector - linear predictor) is O(h^2), which
+            # over-rejects and caps dt growth.
+            y_lin = jnp.where(have_two, y + rho * (y - y_prev), y)
+            a, b, c = dt_eff, dt_prev, dt_prev2
+            l0 = (a + b) * (a + b + c) / (b * (b + c))
+            l1 = -a * (a + b + c) / (b * c)
+            l2 = a * (a + b) / ((b + c) * c)
+            y_quad = l0 * y + l1 * y_prev + l2 * y_prev2
+            y_pred = jnp.where(have_three, y_quad, y_lin)
 
-            res1 = self.newton.solve(
-                partial(stage_residual_bdf1, y_n=y, t_new=t_new, dt=dt_eff),
+            # one Newton solve per attempt: BDF1 only during bootstrap
+            # (lax.cond executes a single branch at runtime)
+            res = lax.cond(
+                have_two,
+                lambda yp: self.newton.solve(
+                    partial(stage_residual_bdf2, y_n=y, y_nm1=y_prev,
+                            t_new=t_new, dt=dt_eff, rho=rho), yp),
+                lambda yp: self.newton.solve(
+                    partial(stage_residual_bdf1, y_n=y, t_new=t_new,
+                            dt=dt_eff), yp),
                 y_pred,
             )
-            res2 = self.newton.solve(
-                partial(stage_residual_bdf2, y_n=y, y_nm1=y_prev,
-                        t_new=t_new, dt=dt_eff, rho=rho),
-                y_pred,
-            )
-            use2 = have_two
-            y_new = jnp.where(use2, res2.x, res1.x)
-            newton_ok = jnp.where(use2, res2.converged, res1.converged)
+            y_new = res.x
+            newton_ok = res.converged
 
             err = self._wrms(y_new - y_pred, y_new)
-            # bootstrap BDF1 step: no meaningful predictor -> accept on
-            # Newton success with a conservative dt growth
-            err = jnp.where(have_two, err, jnp.asarray(0.5, dtype))
+            # bootstrap steps: no same-order predictor -> accept on Newton
+            # success with conservative dt growth
+            err = jnp.where(have_three, err, jnp.asarray(0.5, dtype))
             accept = newton_ok & (err <= 1.0)
 
-            order = jnp.where(have_two, 3.0, 2.0)  # err ~ dt^order
+            # err ~ dt^3 once the quadratic predictor is live
+            order = jnp.where(have_three, 3.0, 2.0)
             factor = jnp.clip(
                 self.safety * err ** (-1.0 / order), 0.2, 5.0
             )
@@ -111,12 +124,16 @@ class BDF:
             t_out = jnp.where(accept, t_new, t)
             y_out = jnp.where(accept, y_new, y)
             y_prev_out = jnp.where(accept, y, y_prev)
+            y_prev2_out = jnp.where(accept, y_prev, y_prev2)
             dt_prev_out = jnp.where(accept, dt_eff, dt_prev)
+            dt_prev2_out = jnp.where(accept, dt_prev, dt_prev2)
+            have_three_out = have_three | (have_two & accept)
             have_two_out = have_two | accept
             done_out = done | (t_out >= t1 - 1e-300) | (dt_next <= self.dt_min)
 
             return (
-                t_out, dt_next, y_out, y_prev_out, dt_prev_out, have_two_out,
+                t_out, dt_next, y_out, y_prev_out, y_prev2_out, dt_prev_out,
+                dt_prev2_out, have_two_out, have_three_out,
                 steps + accept.astype(jnp.int32),
                 rejected + (1 - accept.astype(jnp.int32)),
                 nfail + (1 - newton_ok.astype(jnp.int32)),
@@ -124,17 +141,18 @@ class BDF:
             )
 
         def cond(state):
-            t, dt, y, y_prev, dt_prev, have_two, steps, rejected, nfail, done = state
+            done = state[-1]
+            steps, rejected = state[-4], state[-3]
             return (~done) & (steps + rejected < self.max_steps)
 
         dt0 = jnp.asarray(self.dt0, dtype)
         state = (
-            t0, dt0, y0, y0, dt0, jnp.bool_(False), jnp.int32(0),
-            jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+            t0, dt0, y0, y0, y0, dt0, dt0, jnp.bool_(False),
+            jnp.bool_(False), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.bool_(False),
         )
-        (t, dt, y, _, _, _, steps, rejected, nfail, done) = lax.while_loop(
-            cond, body, state
-        )
+        (t, dt, y, _, _, _, _, _, _, steps, rejected, nfail, done) = (
+            lax.while_loop(cond, body, state))
         return BDFResult(y=y, t=t, steps=steps, rejected=rejected,
                          newton_failures=nfail, dt_final=dt,
                          success=t >= t1 - 1e-300)
