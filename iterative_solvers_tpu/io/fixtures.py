@@ -96,13 +96,20 @@ def upsample(fix: DropletFixture, nx: int, ny: int) -> DropletFixture:
     # inject O(offset / taper_width^2) spurious curvature.
     frame = np.concatenate([dev[0, :], dev[-1, :], dev[:, 0], dev[:, -1]])
     dev = dev - np.mean(frame)
-    iy = np.arange(ny)[:, None]
-    ix = np.arange(nx)[None, :]
-    dist = np.minimum(np.minimum(iy, ny - 1 - iy),
-                      np.minimum(ix, nx - 1 - ix)).astype(np.float64)
+    iy = np.arange(ny)[:, None].astype(np.float64)
+    ix = np.arange(nx)[None, :].astype(np.float64)
     taper = max(16.0, min(nx, ny) / 16.0)
-    w = np.clip(dist / taper, 0.0, 1.0)
-    w = w * w * (3.0 - 2.0 * w)  # smoothstep
+
+    # product of per-edge smoothsteps, NOT min(dist): the min's kink along
+    # the corner diagonals is only C^0, and the mesh Jacobian's second
+    # derivatives across it grow like 1/h — at 4096^2 the corner qxy
+    # blow-up tangles the mesh (jac < 0).  The product form is C^1 with
+    # h-independent curvature.
+    def edge_w(d):
+        w = np.clip(d / taper, 0.0, 1.0)
+        return w * w * (3.0 - 2.0 * w)
+
+    w = (edge_w(iy) * edge_w(ny - 1 - iy) * edge_w(ix) * edge_w(nx - 1 - ix))
     q_fixed = q_id + w * dev
 
     return dataclasses.replace(fix, nx=nx, ny=ny, u=interp(fix.u), q=q_fixed)

@@ -64,7 +64,10 @@ ICI_GBPS_PER_LINK = 100.0
 
 @dataclasses.dataclass(frozen=True)
 class CommStats:
-    """Collective traffic of one compiled step, counted from the HLO."""
+    """Collective traffic of one compiled step, counted from the HLO.
+
+    Byte counts are PER DEVICE (SPMD modules carry per-shard shapes) —
+    i.e. the traffic each chip puts on its ICI links."""
 
     collective_permute_count: int
     all_reduce_count: int

@@ -101,3 +101,51 @@ def test_determinism_bitwise():
     b = np.asarray(step(u0)[0])
     assert np.array_equal(a, b)
     assert bool(check_finite(jnp.array(a)))
+
+
+def test_comm_stats_from_compiled_counts_collectives():
+    """HLO collective counting on a known sharded graph: a width-1 halo
+    exchange compiles to exactly 2 collective-permutes, and a psum to one
+    all-reduce."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from iterative_solvers_tpu.dist.halo import halo_exchange_1d
+    from iterative_solvers_tpu.utils.roofline import (
+        comm_stats_from_compiled, halo_step_model,
+    )
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]), axis_names=("y",))
+
+    def body(b):
+        lo, hi = halo_exchange_1d(b, 1, "y", axis=0, periodic=True)
+        return lo + hi + jax.lax.psum(jnp.sum(b), "y")
+
+    f = shard_map(body, mesh=mesh, in_specs=P("y", None),
+                  out_specs=P("y", None))
+    x = jax.device_put(jnp.ones((32, 16)),
+                       NamedSharding(mesh, P("y", None)))
+    stats = comm_stats_from_compiled(jax.jit(f).lower(x).compile())
+    assert stats.collective_permute_count == 2
+    assert stats.all_reduce_count >= 1
+    # HLO shapes are per-device: each permute moves this shard's (1, 16)
+    # f64 halo strip to its neighbour
+    assert stats.permute_bytes == 2 * 1 * 16 * 8
+
+    m = halo_step_model(ny=1024, nx=1024, n_devices=8, halo_rows=12,
+                        exchanges_per_step=4, dtype_bytes=8,
+                        compute_passes=20, hbm_gbps=819.0)
+    assert 0.8 < m["weak_scaling_efficiency"] < 1.0
+    assert m["block_rows"] == 128
