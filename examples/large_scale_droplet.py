@@ -41,6 +41,16 @@ COAL = "/root/reference/python_work/initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.1
 DROPS = [(0.0, 0.0, 1.0, 1.0), (3.0, 0.0, 1.0, 1.0)]
 
 
+def mesh_dt(n: int) -> float:
+    """Resolution-scaled explicit PMA step.  The monitor |lap u|^2 grows
+    ~(interface curvature)^2 as the 1/a interface becomes resolved — at
+    4096² it is ~1e4x the 1024² value, and the 1024²-tuned dtmesh
+    over-compresses then tangles the mesh (measured: jac -> -1e19 within
+    10 iterations).  Scaling dtmesh by (1024/n)^2 keeps the explicit mesh
+    flow stable at every grid."""
+    return 1e-10 * min(1.0, (1024.0 / n) ** 2)
+
+
 def prepare(n: int):
     fixture = fx.load(COAL)
     big = fx.upsample(fixture, n, n)
@@ -50,7 +60,7 @@ def prepare(n: int):
     for _ in range(3):
         geom = curvilinear.mesh_geometry(q, cfg.grid)
         u = dp.seeded_solution(geom, cfg, DROPS)
-        q = loop_pma(q, u, 1e-10, 60, cfg.grid, cfg.pma, mon)
+        q = loop_pma(q, u, mesh_dt(n), 60, cfg.grid, cfg.pma, mon)
     geom = curvilinear.mesh_geometry(q, cfg.grid)
     u = dp.seeded_solution(geom, cfg, DROPS)
     assert float(jnp.min(geom.jac)) > 0, "mesh tangled during preparation"
@@ -60,15 +70,19 @@ def prepare(n: int):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    dt = 1e-9
+    # dt scaled at 4096²: the fully-resolved interface steepens the
+    # nonlinear system; 5e-10 converges in 11 Newton iterations (measured
+    # f_norm 7.4e-6), 1e-9 stalls at ~5e-5
+    dt = 1e-9 * min(1.0, 2048.0 / n)
 
     t0 = time.time()
     cfg, u, q = prepare(n)
     print(f"prepared {n}x{n} state in {time.time()-t0:.0f}s", flush=True)
 
-    solver = NewtonKrylov(f_tol=1e-5, maxiter=8, inner_m=12, outer_k=6,
+    solver = NewtonKrylov(f_tol=1e-5, maxiter=14, inner_m=12, outer_k=6,
                           inner_dtype="float32", max_backtracks=4)
-    step = dp.make_step(cfg, dt=dt, dtmesh=1e-10, pma_loops=20, solver=solver)
+    step = dp.make_step(cfg, dt=dt, dtmesh=mesh_dt(n), pma_loops=20,
+                        solver=solver)
     jf = jax.jit(lambda u, q: step(u, q, dt))
 
     t0 = time.time()
