@@ -183,3 +183,25 @@ def test_grid_dia_dirichlet_rect():
     x = RNG.standard_normal(ny * nx)
     np.testing.assert_allclose(np.asarray(a.matvec(jnp.array(x))), m @ x,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_spmv_fallbacks_match_scipy():
+    """Off-TPU the Pallas SpMV wrappers take the XLA fallback — gate both
+    against scipy (the TPU kernels are parity-gated in benchmarks/run_all.py
+    against these same XLA paths)."""
+    from iterative_solvers_tpu.ops.sparse import GridDIA
+    from iterative_solvers_tpu.ops.pallas_spmv import (
+        grid_dia_matvec_pallas, dia_flat_matvec_pallas,
+    )
+
+    n = 24
+    m = sh_operator(n, 0.7, 0.01)
+    x = RNG.standard_normal(n * n)
+    a = GridDIA.from_scipy(m, (n, n))
+    got = np.asarray(grid_dia_matvec_pallas(a, jnp.array(x.reshape(n, n))))
+    np.testing.assert_allclose(got.reshape(-1), m @ x, rtol=1e-12, atol=1e-9)
+
+    md = laplacian_5pt_dirichlet(n + 1, 2.0)
+    d = DIA.from_scipy(md)
+    got = np.asarray(dia_flat_matvec_pallas(d, (n, n), jnp.array(x)))
+    np.testing.assert_allclose(got, md @ x, rtol=1e-12, atol=1e-12)
