@@ -4,10 +4,13 @@ BASELINE.json's metric line is "SpMV nnz/s + GB/s per chip".  Two kernels,
 both double-buffered slab pipelines (same DMA structure as
 ops.pallas_stencil):
 
-- :func:`grid_dia_matvec_pallas` — GridDIA (2-D shift terms).  Simple
-  compute (one roll per term) but flat-diagonal wrap residues double the
-  number of stored coefficient fields (~26 for a 13-point operator), so
-  its *useful*-bytes ceiling is ~55%.
+- :func:`grid_dia_matvec_pallas` — GridDIA (2-D shift terms; one cyclic
+  lane roll per distinct dx, reused across terms).  With a *cyclic*
+  container (``GridDIA.from_scipy(..., cyclic=True)``) periodic wrap
+  residues merge onto the interior shifts — 13 stored fields for the
+  13-point SH operator, the minimal-traffic layout (useful-bytes ceiling
+  ~100%), and the row halo wraps cyclically in the DMA.  Non-cyclic
+  containers keep clamped halos + zero-coefficient annihilation.
 - :func:`dia_flat_matvec_pallas` — row-aligned flat DIA (the ``DIA``
   container) viewed on a ``(ny, nx)`` grid.  One coefficient field per
   flat diagonal (13 for the 13-point operator): each term reads two
@@ -32,10 +35,11 @@ from .pallas_stencil import _on_tpu
 _HALO = 8  # f32 sublane tile height; also the max supported |row shift|
 
 
-def _spmv_pipeline(ny, nx, bm, ndiags, compute):
-    """Double-buffered slab pipeline: stream x (with an 8-row clamped halo)
-    and the (ndiags, bm, nx) coefficient chunks; ``compute(slab, dchunk)``
-    returns the (bm, nx) output block."""
+def _spmv_pipeline(ny, nx, bm, ndiags, compute, wrap_rows=False):
+    """Double-buffered slab pipeline: stream x (with an 8-row halo — clamped
+    at the domain edges, or wrapped cyclically when ``wrap_rows``) and the
+    (ndiags, bm, nx) coefficient chunks; ``compute(slab, dchunk)`` returns
+    the (bm, nx) output block."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -50,7 +54,9 @@ def _spmv_pipeline(ny, nx, bm, ndiags, compute):
                 x_sems.at[slot, jnp.int32(0)],
             )
             top_src = pl.multiple_of(
-                jnp.where(idx == 0, jnp.int32(0), start - jnp.int32(_HALO)),
+                jnp.where(idx == 0,
+                          jnp.int32(ny - _HALO if wrap_rows else 0),
+                          start - jnp.int32(_HALO)),
                 _HALO)
             top = pltpu.make_async_copy(
                 x_hbm.at[pl.ds(top_src, _HALO), :],
@@ -58,7 +64,8 @@ def _spmv_pipeline(ny, nx, bm, ndiags, compute):
                 x_sems.at[slot, jnp.int32(1)],
             )
             bot_src = pl.multiple_of(
-                jnp.where(idx == nchunks - 1, jnp.int32(ny - _HALO),
+                jnp.where(idx == nchunks - 1,
+                          jnp.int32(0 if wrap_rows else ny - _HALO),
                           start + jnp.int32(bm)), _HALO)
             bot = pltpu.make_async_copy(
                 x_hbm.at[pl.ds(bot_src, _HALO), :],
@@ -158,15 +165,21 @@ def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
     shifts = a.shifts
 
     def compute(slab, dchunk):
+        # one cyclic roll of the WHOLE slab per distinct lane shift —
+        # terms sharing dx (e.g. (-1,1),(0,1),(1,1)) reuse it
+        rolled = {0: slab}
+        for _, dx in shifts:
+            s = (-dx) % nx
+            if s and s not in rolled:
+                rolled[s] = pltpu.roll(slab, shift=jnp.int32(s), axis=1)
         acc = jnp.zeros((bm, nx), jnp.float32)
         for k, (dy, dx) in enumerate(shifts):
-            rows = slab[_HALO + dy:_HALO + dy + bm, :]
-            if dx % nx:
-                rows = pltpu.roll(rows, shift=jnp.int32((-dx) % nx), axis=1)
+            rows = rolled[(-dx) % nx][_HALO + dy:_HALO + dy + bm, :]
             acc = acc + dchunk[k] * rows
         return acc
 
-    return _spmv_pipeline(ny, nx, bm, len(shifts), compute)(x2, a.data)
+    return _spmv_pipeline(ny, nx, bm, len(shifts), compute,
+                          wrap_rows=a.cyclic)(x2, a.data)
 
 
 def dia_flat_matvec_pallas(a: DIA, grid: tuple[int, int], x,

@@ -194,11 +194,19 @@ class GridDIA(NamedTuple):
     ``off = dy*nx + dx`` whose column index wraps at a row boundary splits
     into two 2-D shift terms with complementary masks (see
     :meth:`from_scipy`), so periodic wrap diagonals are representable too.
+
+    With ``cyclic=True`` the shifts are interpreted modulo the grid
+    (``x[(r + dy) % ny, (c + dx) % nx]``) and :meth:`from_scipy` merges every
+    entry onto its minimal-residue shift — exact for *any* matrix (each entry
+    ``(i, j)`` has a unique canonical shift for its row), and for periodic
+    stencil operators it collapses the wrap-residue fields: the 13-point SH
+    operator stores 13 fields instead of ~21, the minimal-traffic layout.
     """
 
     data: jax.Array                      # (nterms, ny, nx)
     shifts: tuple[tuple[int, int], ...]  # (dy, dx) per term
     grid: tuple[int, int]                # (ny, nx)
+    cyclic: bool = False                 # shifts wrap modulo the grid
 
     def _apply(self, x2):
         """Fused shift-multiply pipeline on a (..., ny, nx) field.
@@ -211,6 +219,23 @@ class GridDIA(NamedTuple):
         forcing a 3x-wide pad.
         """
         ny, nx = self.grid
+        if self.cyclic:
+            near = [(k, dy, dx) for k, (dy, dx) in enumerate(self.shifts)
+                    if abs(dy) <= 8 and abs(dx) <= 8]
+            farc = [(k, dy, dx) for k, (dy, dx) in enumerate(self.shifts)
+                    if abs(dy) > 8 or abs(dx) > 8]
+            my = max([abs(d) for _, d, _ in near], default=0)
+            mx = max([abs(d) for _, _, d in near], default=0)
+            pad = [(0, 0)] * (x2.ndim - 2) + [(my, my), (mx, mx)]
+            xp = jnp.pad(x2, pad, mode="wrap")
+            out = jnp.zeros_like(x2)
+            for k, dy, dx in near:
+                out = out + self.data[k] * xp[..., my + dy:my + dy + ny,
+                                              mx + dx:mx + dx + nx]
+            for k, dy, dx in farc:
+                out = out + self.data[k] * jnp.roll(x2, (-dy, -dx),
+                                                    axis=(-2, -1))
+            return out
         near = [(k, dy, dx) for k, (dy, dx) in enumerate(self.shifts)
                 if abs(dx) <= 8]
         far = [(k, dy, dx) for k, (dy, dx) in enumerate(self.shifts)
@@ -248,14 +273,40 @@ class GridDIA(NamedTuple):
         return int(sum(np.count_nonzero(np.asarray(d)) for d in self.data))
 
     @staticmethod
-    def from_scipy(m, grid: tuple[int, int]) -> "GridDIA":
+    def from_scipy(m, grid: tuple[int, int], cyclic: bool = False) -> "GridDIA":
         """Build from any scipy sparse matrix whose row/col spaces are the
         flattened ``(ny, nx)`` grid.  Each flat diagonal ``off`` becomes the
         2-D shift ``(dy, dx)`` with ``dx`` the minimal-magnitude residue of
         ``off mod nx`` — plus, where the column index would wrap past a row
         edge, the complementary shift ``(dy +- 1, dx -+ nx)``; entries land
-        in whichever term keeps ``0 <= c + dx < nx``."""
+        in whichever term keeps ``0 <= c + dx < nx``.
+
+        With ``cyclic=True``, every entry ``(i, j)`` instead lands on the
+        minimal residue of ``(row_j - row_i, col_j - col_i)`` modulo the
+        grid — exact for any matrix, and the minimal-field layout for
+        periodic operators (wrap diagonals merge onto the interior shift)."""
         ny, nx = grid
+        if cyclic:
+            coo = m.tocoo()
+            n = ny * nx
+            assert coo.shape == (n, n)
+            ri, ci = np.divmod(coo.row.astype(np.int64), nx)
+            rj, cj = np.divmod(coo.col.astype(np.int64), nx)
+            dy = (rj - ri) % ny
+            dy = np.where(dy > ny // 2, dy - ny, dy)
+            dx = (cj - ci) % nx
+            dx = np.where(dx > nx // 2, dx - nx, dx)
+            # unique integer code per shift, ordered like sorted (dy, dx)
+            code = dy * np.int64(2 * nx + 2) + dx
+            uniq, inv = np.unique(code, return_inverse=True)
+            data = np.zeros((len(uniq), ny, nx), dtype=coo.data.dtype)
+            np.add.at(data, (inv, ri, ci), coo.data)
+            k = np.int64(2 * nx + 2)
+            shifts = tuple(
+                (int((c + nx) // k), int((c + nx) % k - nx)) for c in uniq
+            )
+            return GridDIA(data=jnp.asarray(data), shifts=shifts,
+                           grid=(ny, nx), cyclic=True)
         md = m.todia()
         n = ny * nx
         assert md.shape == (n, n)

@@ -185,6 +185,46 @@ def test_grid_dia_dirichlet_rect():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_grid_dia_cyclic_minimal_fields():
+    """cyclic=True merges periodic wrap residues onto the interior shifts:
+    the 13-point SH operator stores exactly 13 fields, parity exact, and
+    the canonicalisation is exact for arbitrary (non-grid) sparsity too."""
+    from iterative_solvers_tpu.ops.sparse import GridDIA
+
+    n = 16
+    m = sh_operator(n, 0.7, 0.01)
+    a = GridDIA.from_scipy(m, (n, n), cyclic=True)
+    assert len(a.shifts) == 13
+    assert max(abs(dy) for dy, _ in a.shifts) == 2
+    assert a.nnz == m.nnz
+    x = RNG.standard_normal(n * n)
+    np.testing.assert_allclose(np.asarray(a.matvec(jnp.array(x))), m @ x,
+                               rtol=1e-12, atol=1e-9)
+    X = RNG.standard_normal((n * n, 4))
+    np.testing.assert_allclose(np.asarray(a.matmat(jnp.array(X))), m @ X,
+                               rtol=1e-12, atol=1e-9)
+
+    mr = sp.random(n * n, n * n, density=0.002, random_state=3, format="csr")
+    ar = GridDIA.from_scipy(mr, (n, n), cyclic=True)
+    xr = RNG.standard_normal(n * n)
+    np.testing.assert_allclose(np.asarray(ar.matvec(jnp.array(xr))), mr @ xr,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_spmv_cyclic_fallback_matches_scipy():
+    """The Pallas wrapper on a cyclic container (off-TPU: the XLA wrap-pad
+    fallback) must reproduce the periodic operator exactly."""
+    from iterative_solvers_tpu.ops.sparse import GridDIA
+    from iterative_solvers_tpu.ops.pallas_spmv import grid_dia_matvec_pallas
+
+    n = 24
+    m = sh_operator(n, 0.7, 0.01)
+    a = GridDIA.from_scipy(m, (n, n), cyclic=True)
+    x = RNG.standard_normal(n * n)
+    got = np.asarray(grid_dia_matvec_pallas(a, jnp.array(x.reshape(n, n))))
+    np.testing.assert_allclose(got.reshape(-1), m @ x, rtol=1e-12, atol=1e-9)
+
+
 def test_pallas_spmv_fallbacks_match_scipy():
     """Off-TPU the Pallas SpMV wrappers take the XLA fallback — gate both
     against scipy (the TPU kernels are parity-gated in benchmarks/run_all.py
