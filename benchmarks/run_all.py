@@ -145,6 +145,19 @@ def bench_pma_loop():
 
     emit("pma_loop_iter_91x61", marginal_ms(make, 20, 120), "ms", baseline=2.1)
 
+    # production fast path: the whole PMA sub-iteration in f32 (mesh_dtype;
+    # increment-carried so tiny dtmesh updates survive — meshmove/pma.py)
+    import dataclasses as _dc
+    cfg32 = _dc.replace(cfg, mesh_dtype="float32")
+
+    def make32(k):
+        return jax.jit(
+            lambda: jnp.sum(loop_pma(q, u, 3e-9, k, grid, cfg32.pma, mon))
+        )
+
+    emit("pma_loop_iter_91x61_f32", marginal_ms(make32, 20, 120), "ms",
+         baseline=2.1)
+
 
 def bench_droplet_full_step():
     """Full evolve_with_PDE step at 91x61 with the production pma_loops=400.
@@ -158,7 +171,9 @@ def bench_droplet_full_step():
     fixture = fx.load(
         "/root/reference/python_work/initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"
     )
-    cfg = dataclasses.replace(fx.config_for(fixture), spectral_dtype="float32")
+    cfg = dataclasses.replace(fx.config_for(fixture),
+                              spectral_dtype="float32",
+                              mesh_dtype="float32")
     u = jnp.array(fixture.u)
     q = jnp.array(fixture.q)
     step = dp.make_step(cfg, dt=1e-5, dtmesh=3e-9, pma_loops=400,
@@ -307,24 +322,38 @@ def bench_spmv():
         emit(f"spmv_{name}_1024sq_roofline_frac",
              cost.achieved_gbps(ms / 1e3) / hbm, "x")
 
-    # Pallas GridDIA kernel (double-buffered slab pipeline; ops/pallas_spmv)
+    # Pallas cyclic-GridDIA kernel (double-buffered slab pipeline;
+    # ops/pallas_spmv).  cyclic=True canonicalises the periodic wrap
+    # residues onto the 13 interior shifts — the minimal-traffic layout —
+    # and makes the kernel eligible (the non-cyclic container carries
+    # |dy| ~ n wrap shifts, which would silently fall back to XLA).
     from iterative_solvers_tpu.ops.pallas_spmv import grid_dia_matvec_pallas
 
-    x2 = x.reshape(n, n)
-    ref = np.asarray(jax.jit(lambda d, v: dia._replace(data=d)._apply(v))(
-        dia.data, x2))
-    got = np.asarray(jax.jit(
-        lambda d, v: grid_dia_matvec_pallas(dia._replace(data=d), v))(
-        dia.data, x2))
-    scale = np.abs(ref).max()
-    assert np.abs(ref - got).max() / scale < 1e-5, "pallas spmv parity"
-    ms = marginal_ms(chain_fn(
-        lambda v, d: grid_dia_matvec_pallas(dia._replace(data=d), v),
-        x2, dia.data), 50, 400, reps=5)
-    cost = spmv_cost(nnz, n * n, n * n, 4, fmt="dia")
-    emit("spmv_griddia_pallas_1024sq_nnz_per_s", nnz / ms / 1e6, "Gnnz/s")
-    emit("spmv_griddia_pallas_1024sq_roofline_frac",
-         cost.achieved_gbps(ms / 1e3) / hbm, "x")
+    for nn in (1024, 2048):
+        mc = m if nn == n else sh_operator(nn, h, 0.5)
+        nnzc = mc.nnz
+        diac = GridDIA.from_scipy(mc.astype(np.float32), (nn, nn),
+                                  cyclic=True)
+        assert len(diac.shifts) == 13
+        assert max(abs(dy) for dy, _ in diac.shifts) <= 8  # no fallback
+        x2 = jnp.array(
+            np.random.default_rng(0).standard_normal((nn, nn)),
+            dtype=jnp.float32)
+        ref = np.asarray(jax.jit(
+            lambda d, v: diac._replace(data=d)._apply(v))(diac.data, x2))
+        got = np.asarray(jax.jit(
+            lambda d, v: grid_dia_matvec_pallas(diac._replace(data=d), v))(
+            diac.data, x2))
+        scale = np.abs(ref).max()
+        assert np.abs(ref - got).max() / scale < 1e-5, "pallas spmv parity"
+        ms = marginal_ms(chain_fn(
+            lambda v, d: grid_dia_matvec_pallas(diac._replace(data=d), v),
+            x2, diac.data), 50, 400, reps=5)
+        cost = spmv_cost(nnzc, nn * nn, nn * nn, 4, fmt="dia")
+        emit(f"spmv_griddia_cyclic_pallas_{nn}sq_nnz_per_s",
+             nnzc / ms / 1e6, "Gnnz/s")
+        emit(f"spmv_griddia_cyclic_pallas_{nn}sq_roofline_frac",
+             cost.achieved_gbps(ms / 1e3) / hbm, "x")
 
     # flat-DIA kernel on the Dirichlet 5-pt Laplacian (lab14_p2's operator,
     # all offsets near-diagonal): one stored field per flat diagonal — the

@@ -52,19 +52,24 @@ def mesh_dt(n: int) -> float:
 
 
 def prepare(n: int):
+    """State preparation on the deviation-form mesh (phi = Q - identity):
+    the f32-robust geometry at fine grids, which lets the whole PMA
+    sub-loop run in f32 (mesh_dtype) without the ~Q/h² cancellation."""
     fixture = fx.load(COAL)
     big = fx.upsample(fixture, n, n)
-    cfg = dataclasses.replace(fx.config_for(big), spectral_dtype="float32")
-    q = jnp.array(big.q)
+    cfg = dataclasses.replace(fx.config_for(big), spectral_dtype="float32",
+                              mesh_dtype="float32")
+    phi = curvilinear.to_deviation(jnp.array(big.q), cfg.grid)
     mon = lambda a, b, c: dp.monitor_source(a, b, c)
     for _ in range(3):
-        geom = curvilinear.mesh_geometry(q, cfg.grid)
+        geom = curvilinear.mesh_geometry_dev(phi, cfg.grid)
         u = dp.seeded_solution(geom, cfg, DROPS)
-        q = loop_pma(q, u, mesh_dt(n), 60, cfg.grid, cfg.pma, mon)
-    geom = curvilinear.mesh_geometry(q, cfg.grid)
+        phi = loop_pma(phi, u, mesh_dt(n), 60, cfg.grid, cfg.pma, mon,
+                       curvilinear.mesh_geometry_dev)
+    geom = curvilinear.mesh_geometry_dev(phi, cfg.grid)
     u = dp.seeded_solution(geom, cfg, DROPS)
     assert float(jnp.min(geom.jac)) > 0, "mesh tangled during preparation"
-    return cfg, u, q
+    return cfg, u, phi
 
 
 def main():
@@ -82,7 +87,7 @@ def main():
     solver = NewtonKrylov(f_tol=1e-5, maxiter=14, inner_m=12, outer_k=6,
                           inner_dtype="float32", max_backtracks=4)
     step = dp.make_step(cfg, dt=dt, dtmesh=mesh_dt(n), pma_loops=20,
-                        solver=solver)
+                        solver=solver, deviation_form=True)
     jf = jax.jit(lambda u, q: step(u, q, dt))
 
     t0 = time.time()

@@ -47,6 +47,16 @@ class PMAParams:
     # dominate at large grids, while the mesh velocity tolerates ~1e-6
     # relative noise (it is integrated with tiny explicit dtmesh steps).
     # None keeps the state dtype (parity mode).
+    mesh_dtype: str | None = None
+    # e.g. "float32": run the ENTIRE PMA sub-iteration (geometry, monitor
+    # smoothing, spectral solve, Euler update) in reduced precision —
+    # f64 elementwise ops are ~5-15x emulated on TPU, and the mesh
+    # sub-loop is the bulk of a droplet step's wall time.  The mesh is a
+    # coordinate map integrated with tiny explicit steps; f32 noise in it
+    # perturbs the *discretisation*, not the converged solution (the JFNK
+    # solve still runs at the outer dtype on whatever mesh it is given).
+    # Pair with the deviation-form geometry at fine grids.  None keeps the
+    # state dtype (parity mode).
 
 
 @lru_cache(maxsize=16)
@@ -175,13 +185,33 @@ def pma_dqdt(q, u, grid: Grid2D, params: PMAParams,
 
 def loop_pma(q, u, dt: float, loops: int, grid: Grid2D, params: PMAParams,
              monitor_source: Callable, geometry_fn: Callable | None = None):
-    """``loops`` explicit PMA sub-steps (droplet.py:590-599) under one jit."""
+    """``loops`` explicit PMA sub-steps (droplet.py:590-599) under one jit.
 
-    def body(_, q):
-        dqdt = pma_dqdt(q, u, grid, params, monitor_source, geometry_fn)
-        return q + dt * dqdt
+    With ``params.mesh_dtype`` set, the whole sub-loop runs in that dtype —
+    the TPU fast path for f64 states.  The loop carries the accumulated
+    *increment* separately (``q0 + acc``), not the updated potential: the
+    per-step update ``dt * dqdt`` is ~1e-9 of ``q``'s magnitude, far below
+    f32 ULP, so naively casting ``q`` would quantise the updates away;
+    the increment itself is small-scale and accumulates accurately.
+    """
+    if params.mesh_dtype is None:
+        def body(_, q):
+            dqdt = pma_dqdt(q, u, grid, params, monitor_source, geometry_fn)
+            return q + dt * dqdt
 
-    return lax.fori_loop(0, loops, body, q)
+        return lax.fori_loop(0, loops, body, q)
+
+    md = params.mesh_dtype
+    q0 = q.astype(md)
+    um = u.astype(md)
+
+    def body(_, acc):
+        dqdt = pma_dqdt(q0 + acc, um, grid, params, monitor_source,
+                        geometry_fn)
+        return acc + jnp.asarray(dt, md) * dqdt
+
+    acc = lax.fori_loop(0, loops, body, jnp.zeros_like(q0))
+    return q + acc.astype(q.dtype)
 
 
 def mesh_steady_state(q, u, dt: float, grid: Grid2D, params: PMAParams,

@@ -57,6 +57,7 @@ class DropletConfig:
     dtmesh: float = 1e-7
     smoothing_iters: int = 4
     spectral_dtype: str | None = None   # "float32" = fast PMA transforms
+    mesh_dtype: str | None = None       # "float32" = whole PMA loop in f32
 
     @property
     def grid(self) -> Grid2D:
@@ -68,7 +69,8 @@ class DropletConfig:
         return PMAParams(alpha=self.alpha, gamma=self.gamma,
                          mackenzie_c=self.mackenzie_c,
                          smoothing_iters=self.smoothing_iters,
-                         spectral_dtype=self.spectral_dtype)
+                         spectral_dtype=self.spectral_dtype,
+                         mesh_dtype=self.mesh_dtype)
 
     @property
     def epsilon2(self) -> float:

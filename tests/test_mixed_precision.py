@@ -59,3 +59,47 @@ def test_fast_solver_end_to_end(sh):
     u_r, r_r = step_ref(u0)
     assert bool(r_f.converged)
     np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_r), atol=2e-5)
+
+
+def test_f32_mesh_loop_matches_f64():
+    """mesh_dtype="float32" (whole PMA sub-loop in f32 — the TPU fast path
+    for f64 droplet states) must reproduce the f64 mesh to ~f32 noise and
+    leave the subsequent JFNK step's convergence unchanged."""
+    import dataclasses
+    import pathlib
+
+    from iterative_solvers_tpu.io import fixtures as fx
+    from iterative_solvers_tpu.models import droplet as dp
+    from iterative_solvers_tpu.meshmove.pma import loop_pma
+    from iterative_solvers_tpu.ops import curvilinear
+
+    refdir = pathlib.Path("/root/reference/python_work")
+    fixture = fx.load(
+        refdir / "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt")
+    cfg = fx.config_for(fixture)
+    grid = cfg.grid
+    u = jnp.array(fixture.u)
+    q = jnp.array(fixture.q)
+    mon = lambda uu, geom, g: dp.monitor_source(uu, geom, g)
+
+    q64 = loop_pma(q, u, 3e-9, 60, grid, cfg.pma, mon)
+    cfg32 = dataclasses.replace(cfg, mesh_dtype="float32")
+    q32 = loop_pma(q, u, 3e-9, 60, grid, cfg32.pma, mon)
+    assert q32.dtype == q.dtype
+    g64 = curvilinear.mesh_geometry(q64, grid)
+    g32 = curvilinear.mesh_geometry(q32, grid)
+    # mesh coordinates agree to f32 noise levels
+    np.testing.assert_allclose(np.asarray(g32.x), np.asarray(g64.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g32.y), np.asarray(g64.y),
+                               atol=2e-5)
+
+    # the full step on the f32-updated mesh converges identically
+    step64 = dp.make_step(cfg, dt=1e-5, dtmesh=3e-9, pma_loops=20)
+    step32 = dp.make_step(cfg32, dt=1e-5, dtmesh=3e-9, pma_loops=20)
+    o64 = step64(u, q, 1e-5)
+    o32 = step32(u, q, 1e-5)
+    assert bool(o64.converged) and bool(o32.converged)
+    assert int(o64.newton_iters) == int(o32.newton_iters)
+    np.testing.assert_allclose(np.asarray(o32.u), np.asarray(o64.u),
+                               atol=1e-8)
