@@ -255,7 +255,8 @@ class DropletStepResult(NamedTuple):
 
 def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
               solver: NewtonKrylov | None = None,
-              deviation_form: bool = False):
+              deviation_form: bool = False,
+              jvp_dtype: str | None = None):
     """One evolve_with_PDE step (droplet.py:370-384): CN/JFNK solve of the
     physical PDE on the frozen mesh, then ``pma_loops`` explicit PMA
     sub-steps.
@@ -264,6 +265,15 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
     potential phi (Q = identity + phi) via
     :func:`..ops.curvilinear.mesh_geometry_dev` — the f32-robust large-grid
     path (see tests/test_deviation_geometry.py).
+
+    ``jvp_dtype="float32"`` replaces the solver's f64 FD directional
+    derivatives with *exact* JVPs (jax.jvp) of an f32-cast residual — the
+    TPU fast path for the inner Krylov at large grids.  FD differencing
+    needs f64 (the quotient amplifies the residual's rounding floor), but
+    the exact linearisation has no small-difference cancellation, and the
+    inexact-Newton forcing tolerance (~1e-2..1e-3 relative) sits far above
+    f32 matvec noise.  Outer residuals, line search, and convergence
+    checks stay at the state dtype, so the converged answer is unchanged.
     """
     if solver is None:
         # reference: newton_krylov(..., maxiter=20, f_tol=1e-7)
@@ -276,7 +286,22 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
     def step(u, q, dt_n):
         geom = geometry_fn(q, grid)
         F = pde_rhs(u, geom, cfg)
-        res = solver.solve(
+        slv = solver
+        if jvp_dtype is not None:
+            jd = jnp.dtype(jvp_dtype)
+            geom_j = MeshGeometry(*(a.astype(jd) for a in geom))
+            u_j, F_j = u.astype(jd), F.astype(jd)
+            dt_j = jnp.asarray(dt_n, jd)
+
+            def factory(x, fx):
+                x_j = x.astype(jd)
+                res_j = lambda w: cn_residual(w, u_old=u_j, F=F_j, dt=dt_j,
+                                              geom=geom_j, cfg=cfg)
+                return lambda v: jax.jvp(res_j, (x_j,), (v,))[1]
+
+            slv = dataclasses.replace(solver, matvec_factory=factory,
+                                      inner_dtype=str(jd))
+        res = slv.solve(
             partial(cn_residual, u_old=u, F=F, dt=dt_n, geom=geom, cfg=cfg), u
         )
         # reference ordering: loop_pma's monitor is driven by the *old*
