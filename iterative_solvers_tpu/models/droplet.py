@@ -89,7 +89,10 @@ def disjoining_pressure(h, cfg: DropletConfig):
 
 def pressure(h, hxx, hyy, cfg: DropletConfig):
     """p = -lap h + Pi(h) + Bo cos(a) h (droplet.py:468-473)."""
-    return -(hxx + hyy) + disjoining_pressure(h, cfg) + (
+    # float() keeps the constant weakly typed — a bare np.cos() f64 scalar
+    # would re-promote an f32-cast residual to f64 under x64 and break the
+    # jvp_dtype="float32" inner-Krylov path.
+    return -(hxx + hyy) + disjoining_pressure(h, cfg) + float(
         cfg.Bo * np.cos(cfg.incline)
     ) * h
 
@@ -98,7 +101,7 @@ def _flux_divergence(p_dx, p_dy, h, geom: MeshGeometry, grid: Grid2D,
                      cfg: DropletConfig):
     """div( h^3/3 (grad p - driving) ) in curvilinear form
     (droplet.py:446-449, 456-459)."""
-    drive = cfg.Bo * np.sin(cfg.incline) / cfg.epsilon2
+    drive = float(cfg.Bo * np.sin(cfg.incline) / cfg.epsilon2)
     h3 = h ** 3 / 3.0
     A = (p_dx - drive) * h3
     B = p_dy * h3
@@ -150,6 +153,40 @@ def cn_residual(u, u_old, F, dt, geom: MeshGeometry, cfg: DropletConfig):
     return (u - u_old) - dt * (F2 + F) / 2.0
 
 
+def jvp_field_stack(x, geom: MeshGeometry, cfg: DropletConfig, dt):
+    """Coefficient fields of the linearised CN residual at the Newton
+    iterate ``x`` — the per-iteration precompute feeding the fused Pallas
+    matvec (ops.pallas_droplet): stack = [1/J, Q_ksiksi, Q_etaeta, Q_ksieta,
+    c0, c1, c2, c3] with
+
+        c0 = Pi'(x) + Bo cos(a)            [local pressure linearisation]
+        c1 = (dt/2) x^3/3                  [mobility]
+        c2 = (dt/2) (p_dx(x) - drive) x^2  [product-rule flux terms]
+        c3 = (dt/2) p_dy(x) x^2
+
+    so the kernel computes ``J v = v - dF2'[v]`` with dt/2 pre-folded.
+    """
+    grid = cfg.grid
+    n, m, eps = cfg.n_exp, cfg.m_exp, cfg.epsilon
+    K = (n - 1) * (m - 1) / (2.0 * eps * (n - m))
+    r = eps / x
+    dpi = K * (-m * r ** m + n * r ** n) / x
+    c0 = dpi + float(cfg.Bo * np.cos(cfg.incline))
+    x_ksi = stencils.d1_x(x, grid.dx)
+    x_eta = stencils.d1_y(x, grid.dy)
+    xxd, yyd = curvilinear.laplace(x, x_ksi, x_eta, geom, grid)
+    p = pressure(x, xxd, yyd, cfg)
+    p_dx, p_dy = pressure_grad_xy(p, geom, grid)
+    drive = float(cfg.Bo * np.sin(cfg.incline) / cfg.epsilon2)
+    half_dt = 0.5 * dt
+    c1 = half_dt * x ** 3 / 3.0
+    x2 = half_dt * x * x
+    c2 = (p_dx - drive) * x2
+    c3 = p_dy * x2
+    inv_j = 1.0 / geom.jac
+    return jnp.stack([inv_j, geom.xx, geom.yy, geom.xy, c0, c1, c2, c3])
+
+
 def monitor_source(u, geom: MeshGeometry, grid: Grid2D):
     """mon = |u_xx + u_yy|^2 with the reference's quirk BCs
     (droplet.py:729-736 via compute_u_spatial_ders)."""
@@ -197,7 +234,7 @@ def asymptotic_radius_ode(r, t, cfg: DropletConfig):
 
 def rdot(R, V, cfg: DropletConfig):
     """Explicit radius law (droplet.py:553-554)."""
-    return (8.0 * V / R ** 3 - 1.0) / (3.0 * np.log(1.0 / cfg.epsilon))
+    return (8.0 * V / R ** 3 - 1.0) / float(3.0 * np.log(1.0 / cfg.epsilon))
 
 
 # -- drivers -----------------------------------------------------------------
@@ -256,7 +293,8 @@ class DropletStepResult(NamedTuple):
 def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
               solver: NewtonKrylov | None = None,
               deviation_form: bool = False,
-              jvp_dtype: str | None = None):
+              jvp_dtype: str | None = None,
+              jvp_kernel: bool = False):
     """One evolve_with_PDE step (droplet.py:370-384): CN/JFNK solve of the
     physical PDE on the frozen mesh, then ``pma_loops`` explicit PMA
     sub-steps.
@@ -274,6 +312,13 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
     inexact-Newton forcing tolerance (~1e-2..1e-3 relative) sits far above
     f32 matvec noise.  Outer residuals, line search, and convergence
     checks stay at the state dtype, so the converged answer is unchanged.
+
+    ``jvp_kernel=True`` (requires ``jvp_dtype="float32"``) replaces the
+    traced jax.jvp with the fused Pallas matvec
+    (:func:`..ops.pallas_droplet.jvp_matvec_pallas`): the whole linearised
+    curvilinear chain runs from one pass over v + the 8 coefficient fields
+    of :func:`jvp_field_stack`.  Off-TPU it falls back to the jnp mirror —
+    the same linear operator either way, so convergence is unchanged.
     """
     if solver is None:
         # reference: newton_krylov(..., maxiter=20, f_tol=1e-7)
@@ -293,11 +338,21 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
             u_j, F_j = u.astype(jd), F.astype(jd)
             dt_j = jnp.asarray(dt_n, jd)
 
-            def factory(x, fx):
-                x_j = x.astype(jd)
-                res_j = lambda w: cn_residual(w, u_old=u_j, F=F_j, dt=dt_j,
-                                              geom=geom_j, cfg=cfg)
-                return lambda v: jax.jvp(res_j, (x_j,), (v,))[1]
+            if jvp_kernel:
+                if jd != jnp.float32:
+                    raise ValueError("jvp_kernel requires jvp_dtype='float32'")
+                from ..ops.pallas_droplet import jvp_matvec_pallas
+
+                def factory(x, fx):
+                    stack = jvp_field_stack(x.astype(jd), geom_j, cfg, dt_j)
+                    return lambda v: jvp_matvec_pallas(v, stack, grid)
+            else:
+                def factory(x, fx):
+                    x_j = x.astype(jd)
+                    res_j = lambda w: cn_residual(w, u_old=u_j, F=F_j,
+                                                  dt=dt_j, geom=geom_j,
+                                                  cfg=cfg)
+                    return lambda v: jax.jvp(res_j, (x_j,), (v,))[1]
 
             slv = dataclasses.replace(solver, matvec_factory=factory,
                                       inner_dtype=str(jd))

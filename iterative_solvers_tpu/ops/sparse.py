@@ -374,6 +374,14 @@ def sh_operator(n: int, h: float, r: float):
     return (-(lap @ lap) - 2.0 * lap + (r - 1.0) * sp.identity(n * n)).tocsr()
 
 
+def biharmonic_dirichlet(n: int, h: float):
+    """scipy CSR of the 13-point Dirichlet bilaplacian ``Lap_5pt @ Lap_5pt``
+    — the 4th-order operator class of the reference's biharmonic MEMS path
+    (PMA.py:335-349 applies Laplace_operator twice for p=2)."""
+    lap = laplacian_5pt_dirichlet(n, h)
+    return (lap @ lap).tocsr()
+
+
 def laplacian_5pt_dirichlet(n: int, h: float):
     """scipy CSR of the interior-node homogeneous-Dirichlet Laplacian
     (lab14_p2.py:26-34 convention: (n-1)^2 unknowns for n intervals)."""

@@ -94,12 +94,45 @@ def test_f32_mesh_loop_matches_f64():
     np.testing.assert_allclose(np.asarray(g32.y), np.asarray(g64.y),
                                atol=2e-5)
 
-    # the full step on the f32-updated mesh converges identically
+    # Chain two steps: step 1 produces an f32-updated mesh (mesh_dtype only
+    # affects the post-solve loop_pma), so only step 2's JFNK actually solves
+    # on a mesh that differs between the two paths.
     step64 = dp.make_step(cfg, dt=1e-5, dtmesh=3e-9, pma_loops=20)
     step32 = dp.make_step(cfg32, dt=1e-5, dtmesh=3e-9, pma_loops=20)
     o64 = step64(u, q, 1e-5)
     o32 = step32(u, q, 1e-5)
-    assert bool(o64.converged) and bool(o32.converged)
-    assert int(o64.newton_iters) == int(o32.newton_iters)
-    np.testing.assert_allclose(np.asarray(o32.u), np.asarray(o64.u),
-                               atol=1e-8)
+    o64b = step64(o64.u, o64.q, 1e-5)
+    o32b = step32(o32.u, o32.q, 1e-5)
+    assert bool(o64b.converged) and bool(o32b.converged)
+    assert int(o64b.newton_iters) == int(o32b.newton_iters)
+    np.testing.assert_allclose(np.asarray(o32b.u), np.asarray(o64b.u),
+                               atol=1e-6)
+
+
+def test_jvp_f32_inner_matches_fd():
+    """make_step(jvp_dtype="float32") — exact f32 JVP matvecs in the inner
+    Krylov — must converge with the same Newton count and solution as the
+    default f64 FD path (advisor r2 high finding: the scalar constants in
+    pressure()/_flux_divergence() must not re-promote the f32 residual)."""
+    import pathlib
+
+    from iterative_solvers_tpu.io import fixtures as fx
+    from iterative_solvers_tpu.models import droplet as dp
+
+    refdir = pathlib.Path("/root/reference/python_work")
+    fixture = fx.load(
+        refdir / "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt")
+    cfg = fx.config_for(fixture)
+    u = jnp.array(fixture.u)
+    q = jnp.array(fixture.q)
+
+    step_fd = dp.make_step(cfg, dt=1e-5, dtmesh=3e-9, pma_loops=5)
+    step_jvp = dp.make_step(cfg, dt=1e-5, dtmesh=3e-9, pma_loops=5,
+                            jvp_dtype="float32")
+    o_fd = step_fd(u, q, 1e-5)
+    o_jvp = step_jvp(u, q, 1e-5)
+    assert bool(o_fd.converged) and bool(o_jvp.converged)
+    assert o_jvp.u.dtype == u.dtype
+    assert abs(int(o_fd.newton_iters) - int(o_jvp.newton_iters)) <= 1
+    np.testing.assert_allclose(np.asarray(o_jvp.u), np.asarray(o_fd.u),
+                               atol=5e-7)
