@@ -86,8 +86,14 @@ def main():
 
     solver = NewtonKrylov(f_tol=1e-5, maxiter=14, inner_m=12, outer_k=6,
                           inner_dtype="float32", max_backtracks=4)
+    # inner Krylov: fused Pallas JVP matvec (analytic f32 linearisation,
+    # ops/pallas_droplet.py) — outer residuals/line search stay f64
+    mode = sys.argv[3] if len(sys.argv) > 3 else "kernel"
+    jvp_kw = ({"jvp_dtype": "float32", "jvp_kernel": True}
+              if mode == "kernel" else
+              {"jvp_dtype": "float32"} if mode == "jvp" else {})
     step = dp.make_step(cfg, dt=dt, dtmesh=mesh_dt(n), pma_loops=20,
-                        solver=solver, deviation_form=True)
+                        solver=solver, deviation_form=True, **jvp_kw)
     jf = jax.jit(lambda u, q: step(u, q, dt))
 
     t0 = time.time()

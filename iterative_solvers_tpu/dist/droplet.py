@@ -44,7 +44,7 @@ from ..ops import curvilinear, stencils
 from ..meshmove.monitor import smooth_pass
 from ..meshmove import pma
 from ..solvers.newton import NewtonKrylov
-from .halo import sharded_y_chain
+from .halo import sharded_y_chain, sharded_xy_chain
 
 # Influence depth of the deepest chain (residual/pde_rhs): phi reaches the
 # output through geometry (radius 2) -> laplace metric terms (radius 3) ->
@@ -72,23 +72,38 @@ class ShardedDropletOps(NamedTuple):
 def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
                      axis_name: str = "y",
                      pma_solver: str = "spectral",
-                     solver: NewtonKrylov | None = None) -> ShardedDropletOps:
+                     solver: NewtonKrylov | None = None,
+                     x_axis_name: str | None = None) -> ShardedDropletOps:
     """Build the explicit-halo distributed droplet operators.
 
     ``pma_solver``: "spectral" (DCT matmuls at the global level) or
     "chebyshev" / "cg" (iterative shifted-Neumann solve whose operator is a
     width-1 sharded halo chain — see meshmove.pma.solve_shifted_neumann).
+
+    ``x_axis_name``: name of a second (column) mesh axis for 2-D block
+    decomposition — every chain is then lifted with
+    :func:`..dist.halo.sharded_xy_chain` (edge strips + corner patches),
+    so the explicit path runs on a ``(py, px)`` mesh instead of rows-only.
+    Defaults to rows-only when omitted or when the mesh lacks the axis.
     """
     grid = cfg.grid
-    spec = P(axis_name, None)
+    two_d = (x_axis_name is not None
+             and x_axis_name in mesh.axis_names
+             and mesh.shape[x_axis_name] > 1)
+    spec = P(axis_name, x_axis_name) if two_d else P(axis_name, None)
     import inspect
 
     _check_kw = ("check_vma" if "check_vma"
                  in inspect.signature(shard_map).parameters else "check_rep")
     smap = partial(shard_map, mesh=mesh, **{_check_kw: False})
 
+    def _lift(chain, depth):
+        if two_d:
+            return sharded_xy_chain(chain, depth, (axis_name, x_axis_name))
+        return sharded_y_chain(chain, depth, axis_name)
+
     def sharded(chain, depth, n_in):
-        return smap(sharded_y_chain(chain, depth, axis_name),
+        return smap(_lift(chain, depth),
                     in_specs=(spec,) * n_in, out_specs=spec)
 
     xx = jnp.asarray(grid.xx)
@@ -144,8 +159,7 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
     def _lap_chain(v):
         return pma.neumann_laplacian(v, grid)
 
-    sharded_lap = smap(sharded_y_chain(_lap_chain, 1, axis_name),
-                       in_specs=spec, out_specs=spec)
+    sharded_lap = smap(_lift(_lap_chain, 1), in_specs=spec, out_specs=spec)
 
     def pma_dqdt(phi, u):
         mon, jac = monitor(u, phi)

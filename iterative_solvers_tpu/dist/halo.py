@@ -177,6 +177,88 @@ def sharded_y_chain(chain, depth: int, axis_name: str):
     return lifted
 
 
+def sharded_xy_chain(chain, depth: int, axis_names: tuple[str, str] = ("y", "x")):
+    """Lift a global operator chain onto 2-D block-sharded fields.
+
+    Generalises :func:`sharded_y_chain` to a ``(py, px)`` device mesh: the
+    same contract (``chain`` is the unmodified single-device function whose
+    total influence depth in *either* axis is <= ``depth``), the same
+    correct-by-construction structure:
+
+    1. ONE fused halo exchange per input per axis (corners arrive via the
+       two-hop y-then-x exchange of :func:`with_halo`, zeros at global
+       edges),
+    2. the chain runs verbatim on the extended blocks; the core
+       ``[depth:-depth, depth:-depth]`` is kept,
+    3. the global-edge regions — where the chain's one-sided formulas are
+       *supposed* to fire but saw halo data — are re-evaluated on thin
+       strips anchored at the true domain edges: 4 edge strips (one-sided
+       in one axis, interior in the other) and 4 corner blocks (one-sided
+       in both), each patched onto the matching edge/corner shards.
+
+    Block-size requirement: both block dims >= ``2 * depth + 8``.
+    """
+    ay, ax = axis_names
+
+    def lifted(*blocks):
+        ny_sh = lax.axis_size(ay)
+        nx_sh = lax.axis_size(ax)
+        if ny_sh == 1 and nx_sh == 1:
+            return chain(*blocks)
+        if nx_sh == 1:
+            return sharded_y_chain(chain, depth, ay)(*blocks)
+        bm, bn = blocks[0].shape
+        s = 2 * depth + 8
+        if bm < s or bn < s:
+            raise ValueError(
+                f"sharded_xy_chain: block {bm}x{bn} < {s} needed for "
+                f"depth={depth} (use fewer shards or a bigger grid)")
+        iy = lax.axis_index(ay)
+        ix = lax.axis_index(ax)
+        d = depth
+        exts = [with_halo(b, d, axis_names, periodic=False) for b in blocks]
+
+        core = chain(*exts)[d:-d, d:-d]
+
+        # edge strips: one-sided axis anchored at the true edge, the other
+        # axis still halo-extended (its one-sided rows/cols land in the
+        # discarded margin; edge-shard leftovers are fixed by the corners)
+        lo_y = chain(*(e[d:d + s, :] for e in exts))[:d, d:-d]
+        hi_y = chain(*(e[e.shape[0] - d - s:e.shape[0] - d, :]
+                       for e in exts))[-d:, d:-d]
+        lo_x = chain(*(e[:, d:d + s] for e in exts))[d:-d, :d]
+        hi_x = chain(*(e[:, e.shape[1] - d - s:e.shape[1] - d]
+                       for e in exts))[d:-d, -d:]
+        core = core.at[:d, :].set(jnp.where(iy == 0, lo_y, core[:d, :]))
+        core = core.at[-d:, :].set(
+            jnp.where(iy == ny_sh - 1, hi_y, core[-d:, :]))
+        core = core.at[:, :d].set(jnp.where(ix == 0, lo_x, core[:, :d]))
+        core = core.at[:, -d:].set(
+            jnp.where(ix == nx_sh - 1, hi_x, core[:, -d:]))
+
+        # corner blocks: one-sided in both axes.  True-domain s x s blocks:
+        # lo side = ext[d : d+s], hi side = ext[-d-s : -d] (ends at the last
+        # true row/col, exactly like the edge strips above).
+        lo_sl = slice(d, d + s)
+        hi_sl = slice(-d - s, -d)
+        for cy in (0, 1):
+            for cx in (0, 1):
+                ys = lo_sl if cy == 0 else hi_sl
+                xs = lo_sl if cx == 0 else hi_sl
+                sub = chain(*(e[ys, xs] for e in exts))
+                pick = sub[slice(0, d) if cy == 0 else slice(s - d, s),
+                           slice(0, d) if cx == 0 else slice(s - d, s)]
+                on = ((iy == 0) if cy == 0 else (iy == ny_sh - 1)) & (
+                    (ix == 0) if cx == 0 else (ix == nx_sh - 1))
+                ty = slice(0, d) if cy == 0 else slice(bm - d, bm)
+                tx = slice(0, d) if cx == 0 else slice(bn - d, bn)
+                core = core.at[ty, tx].set(
+                    jnp.where(on, pick, core[ty, tx]))
+        return core
+
+    return lifted
+
+
 def grid_sharding(mesh: Mesh, axis_names: tuple[str, str] = ("y", "x")):
     return NamedSharding(mesh, P(*axis_names))
 

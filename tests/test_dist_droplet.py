@@ -116,6 +116,65 @@ def test_sharded_full_step_matches_single(setup):
                                rtol=1e-8, atol=1e-11)
 
 
+@pytest.fixture(scope="module")
+def setup_2d():
+    """(2, 4) mesh: 2-D block decomposition, blocks 128 x 32 (>= 2*12+8)."""
+    cfg = dataclasses.replace(
+        dp.DropletConfig(), nx=128, ny=256, epsilon=0.05, a=10.0,
+    )
+    grid = cfg.grid
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("y", "x"))
+    xn = (np.asarray(grid.xx) - grid.xl) / grid.lx
+    yn = (np.asarray(grid.yy) - grid.yb) / grid.ly
+    phi = jnp.asarray(0.02 * np.sin(2 * np.pi * xn) * np.cos(np.pi * yn))
+    geom = curvilinear.mesh_geometry_dev(phi, grid)
+    u = dp.seeded_solution(geom, cfg, [(1.0, 0.0, 1.0, 0.8)])
+    return cfg, mesh, phi, u
+
+
+def test_sharded_2d_residual_matches_single(setup_2d):
+    """VERDICT r2 item 4: the explicit path on a (py, px) mesh — edge strips
+    and corner patches of sharded_xy_chain reproduce the one-sided boundary
+    formulas exactly."""
+    cfg, mesh, phi, u = setup_2d
+    grid = cfg.grid
+    ops = make_sharded_ops(cfg, mesh, x_axis_name="x")
+    geom = curvilinear.mesh_geometry_dev(phi, grid)
+    F = dp.pde_rhs(u, geom, cfg)
+    u_eval = u * (1.0 + 1e-3 * jnp.cos(jnp.asarray(grid.yy)))
+    dt = 1e-6
+    want = np.asarray(dp.cn_residual(u_eval, u, F, dt, geom, cfg))
+    got = np.asarray(jax.jit(ops.residual)(
+        jax.device_put(u_eval, ops.sharding),
+        jax.device_put(u, ops.sharding),
+        jax.device_put(F, ops.sharding),
+        jax.device_put(phi, ops.sharding), dt))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-12)
+
+    want_F = np.asarray(dp.pde_rhs(u, geom, cfg))
+    got_F = np.asarray(jax.jit(ops.pde_rhs)(
+        jax.device_put(u, ops.sharding), jax.device_put(phi, ops.sharding)))
+    np.testing.assert_allclose(got_F, want_F, rtol=1e-7, atol=1e-12)
+
+
+def test_sharded_2d_full_step_matches_single(setup_2d):
+    cfg, mesh, phi, u = setup_2d
+    solver = NewtonKrylov(f_tol=1e-9, maxiter=6, inner_m=10, outer_k=5)
+    ops = make_sharded_ops(cfg, mesh, solver=solver, x_axis_name="x")
+    dt, dtmesh, loops = 1e-6, 1e-9, 3
+    step_single = dp.make_step(cfg, dt=dt, dtmesh=dtmesh, pma_loops=loops,
+                               solver=solver, deviation_form=True)
+    want = step_single(u, phi, dt)
+    got = jax.jit(lambda a, b: ops.step(a, b, dt, dtmesh, loops))(
+        jax.device_put(u, ops.sharding), jax.device_put(phi, ops.sharding))
+    assert bool(got.converged) == bool(want.converged)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.q), np.asarray(want.q),
+                               rtol=1e-8, atol=1e-11)
+
+
 def test_sharded_step_chebyshev_pma_runs(setup):
     """The halo-only iterative PMA inside the sharded step: runs, stays
     finite, and lands near the spectral-mesh answer."""
