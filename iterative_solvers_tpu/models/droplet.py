@@ -486,3 +486,35 @@ def min_spacing(geom: MeshGeometry):
     printed by the reference driver (droplet.py:408-409).  Should remain of
     order 1/a near the contact line (droplet.py:487-489)."""
     return jnp.min(interior_spacings(geom))
+
+
+def distance_to_contact_line(geom: MeshGeometry, R: float,
+                             center: tuple[float, float] = (0.0, 0.0)):
+    """Per-node distance to the contact line of a droplet of radius ``R``
+    centred at ``center``: ``| |x - c| - R |``
+    (investigate_distance_to_contact_line, droplet.py:526-542 — the
+    reference hardcodes the origin).  Returns the full field; pair with
+    :func:`contact_line_stats` for the summary the reference eyeballs from
+    its scatter plot."""
+    r = jnp.sqrt((geom.x - center[0]) ** 2 + (geom.y - center[1]) ** 2)
+    return jnp.abs(r - R)
+
+
+def contact_line_stats(geom: MeshGeometry, R: float,
+                       center: tuple[float, float] = (0.0, 0.0),
+                       band: float = 0.02):
+    """Mesh-adaptivity quality near the contact line (the reference inspects
+    nodes with distance < 0.02, droplet.py:533).  Returns a dict with the
+    node count inside the band, the closest-node distance, and the minimum
+    interior spacing among band nodes — the quantity that 'should ideally
+    be of order 1/a' (droplet.py:487-489)."""
+    d = distance_to_contact_line(geom, R, center)
+    in_band = d < band
+    sp = jnp.min(interior_spacings(geom), axis=-1)
+    in_band_i = in_band[1:-1, 1:-1]
+    big = jnp.asarray(jnp.inf, sp.dtype)
+    return {
+        "band_nodes": jnp.sum(in_band),
+        "min_distance": jnp.min(d),
+        "min_band_spacing": jnp.min(jnp.where(in_band_i, sp, big)),
+    }

@@ -107,3 +107,22 @@ def test_rect_fixture_step_parity():
                                g["u_new"].reshape(grid.shape), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.q),
                                g["q_new"].reshape(grid.shape), atol=1e-8)
+
+
+def test_contact_line_diagnostics():
+    """distance_to_contact_line/contact_line_stats (reference
+    droplet.py:526-542): on the adapted fixture mesh, nodes cluster at the
+    contact line and the band spacing is of order 1/a (droplet.py:487-489)."""
+    fixture = fx.load(COAL)
+    cfg = fx.config_for(fixture)
+    geom = curvilinear.mesh_geometry(jnp.array(fixture.q), cfg.grid)
+    d = dp.distance_to_contact_line(geom, cfg.R)
+    assert d.shape == cfg.grid.shape
+    # identity-mesh oracle: |sqrt(x^2+y^2) - R| at a few nodes
+    r = np.sqrt(np.asarray(geom.x) ** 2 + np.asarray(geom.y) ** 2)
+    np.testing.assert_allclose(np.asarray(d), np.abs(r - cfg.R), rtol=1e-12)
+    stats = dp.contact_line_stats(geom, cfg.R, band=0.02)
+    assert int(stats["band_nodes"]) > 0
+    assert float(stats["min_distance"]) < 0.02
+    # adapted mesh: band spacing within an order of magnitude of 1/a
+    assert float(stats["min_band_spacing"]) < 10.0 / cfg.a
