@@ -84,8 +84,11 @@ def test_coupled_bdf_full_trajectory_vs_scipy():
 
       scipy BDF (order<=5, dense FD Jacobian): 93 steps, 360 rhs evals,
         25 Jacobian updates, 114 LU factorisations — 798.6 s wall
-      this BDF2+JFNK (quadratic-predictor controller): 115 accepted steps,
-        ~38 s wall (21x faster, 1.24x the steps of scipy's order-5)
+      r2 BDF2+JFNK (quadratic-predictor controller): 115 accepted steps
+      r3 variable-order BDF1-3+JFNK (per-order dt factors + scipy's
+        k+1-consecutive-steps equilibration rule): 81 accepted steps,
+        53 rejected — FEWER steps than scipy's order-5 at the same rtol,
+        final-state agreement 1.7e-5
 
     The reference's stated Tf=0.4 is aspirational at N=51: scipy itself
     grinds past 50 minutes without reaching t=0.2 on this host (stiffness
@@ -112,4 +115,5 @@ def test_coupled_bdf_full_trajectory_vs_scipy():
     u_scipy = g["y"][:nn].reshape(cfg.n, cfg.n)
     assert np.abs(np.asarray(u) - u_scipy).max() < 1e-4
     # step-count competitiveness vs scipy's variable order <= 5
-    assert int(res.steps) < 3 * int(g["nsteps"])
+    # (measured 81 vs 93; 1.1x margin for platform-dependent rounding)
+    assert int(res.steps) <= 1.1 * int(g["nsteps"])
