@@ -291,6 +291,55 @@ def bench_pallas_stencils():
                  bytes_min / ms_best / 1e6 / device_hbm_gbps(), "x")
 
 
+def bench_droplet_jvp():
+    """Fused droplet JVP-matvec kernel (ops/pallas_droplet) at 4096²: the
+    production inner-Krylov matvec of the large-grid moving-mesh JFNK.
+    Minimal traffic: v + 8 coefficient fields read + 1 write = 10 n² x 4 B.
+    The XLA row is the jnp mirror of the same chain (what jax.jvp costs)."""
+    from iterative_solvers_tpu.io import fixtures as fx
+    from iterative_solvers_tpu.models import droplet as dp
+    from iterative_solvers_tpu.ops import curvilinear
+    from iterative_solvers_tpu.ops.pallas_droplet import (
+        jvp_matvec_pallas, jvp_apply_ref,
+    )
+    from iterative_solvers_tpu.utils.roofline import device_hbm_gbps
+
+    n = 4096
+    fixture = fx.load(
+        "/root/reference/python_work/initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"
+    )
+    big = fx.upsample(fixture, n, n)
+    cfg = fx.config_for(big)
+    geom = curvilinear.mesh_geometry(jnp.array(big.q), cfg.grid)
+    geom32 = curvilinear.MeshGeometry(*(a.astype(jnp.float32) for a in geom))
+    x32 = dp.seeded_solution(geom32, cfg,
+                             [(0.0, 0.0, 1.0, 1.0), (3.0, 0.0, 1.0, 1.0)])
+    # geom32 must travel as a jit ARGUMENT (closed-over arrays are embedded
+    # in the remote-compile request as literals -> HTTP 413 at 4096²)
+    stack = jax.jit(lambda xx, gg: dp.jvp_field_stack(
+        xx, gg, cfg, jnp.float32(5e-10)))(x32, geom32)
+    v = jnp.array(np.random.default_rng(0).standard_normal((n, n)),
+                  jnp.float32)
+
+    ref = np.asarray(jax.jit(
+        lambda vv, st: jvp_apply_ref(vv, st, cfg.grid))(v, stack))
+    got = np.asarray(jax.jit(
+        lambda vv, st: jvp_matvec_pallas(vv, st, cfg.grid))(v, stack))
+    assert np.abs(ref - got).max() / np.abs(ref).max() < 2e-5, \
+        "droplet jvp pallas parity"
+
+    bytes_min = 10 * n * n * 4
+    for name, op in [
+        ("dropjvp4096_xla", lambda vv, st: jvp_apply_ref(vv, st, cfg.grid)),
+        ("dropjvp4096_pallas",
+         lambda vv, st: jvp_matvec_pallas(vv, st, cfg.grid)),
+    ]:
+        ms = marginal_ms(chain_fn(op, v, stack), 10, 60, reps=5)
+        emit(f"{name}_matvec", ms, "ms")
+        emit(f"{name}_roofline_frac",
+             bytes_min / ms / 1e6 / device_hbm_gbps(), "x")
+
+
 def bench_spmv():
     """Explicit-sparse SpMV/SpMM throughput at >=1M dof (BASELINE.json's
     metric line: nnz/s + GB/s per chip).  Operator: the assembled periodic
@@ -441,6 +490,25 @@ def bench_spmv():
     emit("spmv_griddia_pallas_biharm_1024sq_roofline_frac",
          cost.achieved_gbps(ms / 1e3) / hbm, "x")
 
+    # ... and the plain 5-pt Dirichlet Laplacian (lab14_p2's operator)
+    # through the same non-cyclic GridDIA kernel — the >=80% gate for the
+    # Dirichlet-Laplacian operator class specifically
+    lgrid = GridDIA.from_scipy(md, (n, n))
+    ref = md @ np.asarray(xb, np.float64)
+    got = np.asarray(jax.jit(
+        lambda d, v: grid_dia_matvec_pallas(
+            lgrid._replace(data=d), v.reshape(n, n)))(lgrid.data, xb))
+    assert np.abs(ref.reshape(n, n) - got).max() / np.abs(ref).max() < 1e-5, \
+        "griddia dirichlet pallas parity"
+    ms = marginal_ms(chain_fn(
+        lambda v, d: grid_dia_matvec_pallas(lgrid._replace(data=d), v),
+        xb2, lgrid.data), 50, 400, reps=5)
+    cost = spmv_cost(nnz_d, n * n, n * n, 4, fmt="dia")
+    emit("spmv_griddia_pallas_dirichlet_1024sq_nnz_per_s", nnz_d / ms / 1e6,
+         "Gnnz/s")
+    emit("spmv_griddia_pallas_dirichlet_1024sq_roofline_frac",
+         cost.achieved_gbps(ms / 1e3) / hbm, "x")
+
     # SpMM: 8 right-hand sides through the GridDIA pipeline
     X = jnp.array(
         np.random.default_rng(1).standard_normal((n * n, 8)),
@@ -455,7 +523,7 @@ def bench_spmv():
 if __name__ == "__main__":
     sections = sys.argv[1:] or [
         "sh_step", "droplet_residual", "pma_loop", "droplet_full_step",
-        "poisson", "large_sh", "pallas_stencils", "spmv",
+        "poisson", "large_sh", "pallas_stencils", "droplet_jvp", "spmv",
     ]
     for s in sections:
         globals()[f"bench_{s}"]()

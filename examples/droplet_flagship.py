@@ -1,0 +1,171 @@
+"""The reference's flagship experiment, end-to-end (droplet.py main()):
+
+1. quasi-static inflation of two coalescing droplets — 1000 volume steps
+   with 20 PMA mesh sub-iterations each (initialise_coalescing_droplets,
+   droplet.py:127/132-183),
+2. 1000 CN/JFNK coalescence steps with the adaptive scale law
+   ``scale += exp(-10 ||dU||)`` and 400 PMA sub-iterations per step
+   (evolve_with_PDE, droplet.py:130/360-411),
+3. per-step effective contact radius ``R_eff = sqrt(A/pi)`` (wetted area on
+   the moving mesh, A = sum 1{u>0.1} |J| dksi deta) overlaid against the
+   reference's own asymptotic spreading law (odeint(asympode) —
+   droplet.py:363-365).
+
+One deviation from the reference's literal globals, documented in
+CLAUDE.md: the base dt is 1e-5, not 1e-4 — at dt=1e-4 the very first step
+does not converge even in pure scipy on the reference's own fixture (the
+line search crawls at ~2% steps); the scale law then grows dt_n from there
+exactly as the reference intends.
+
+Usage:  python examples/droplet_flagship.py [n] [steps] [vsteps]
+        n=0 (default) -> the reference's own 91x61 grid; n>=256 runs the
+        same experiment on an n x n grid with the fused-kernel JFNK path.
+Writes benchmarks/flagship_droplet_{tag}.jsonl (one record per step) and a
+summary line to stdout.
+"""
+import json
+import pathlib
+import sys
+import time
+
+import os
+
+import numpy as np
+import jax
+
+if os.environ.get("FLAGSHIP_CPU"):  # CPU smoke runs (axon overrides env)
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+from iterative_solvers_tpu.io import fixtures as fx  # noqa: E402
+from iterative_solvers_tpu.models import droplet as dp  # noqa: E402
+from iterative_solvers_tpu.ops import curvilinear  # noqa: E402
+from iterative_solvers_tpu.solvers.newton import NewtonKrylov  # noqa: E402
+
+DROPS = [(0.0, 0.0, 1.0, 1.0), (3.0, 0.0, 1.0, 1.0)]  # droplet.py:127
+H_WET = 0.1  # wetted-area threshold: well above the precursor (eps=5e-3)
+
+
+def effective_radius(u, jac, dx, dy):
+    area = jnp.sum((u > H_WET) * jnp.abs(jac)) * dx * dy
+    return jnp.sqrt(area / np.pi)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    vsteps = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+
+    if n == 0:
+        cfg = fx.config_for(fx.load(
+            "/root/reference/python_work/"
+            "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"))
+        tag = "91x61"
+        step_kw = {}
+        dtmesh_inf, dtmesh_ev = 5e-9, 3e-9   # droplet.py:127/130
+        geometry_fn = curvilinear.mesh_geometry
+        q0 = dp.initial_mesh_potential(cfg, jnp.float64)
+    else:
+        import dataclasses
+        base = fx.config_for(fx.load(
+            "/root/reference/python_work/"
+            "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"))
+        cfg = dataclasses.replace(base, nx=n, ny=n,
+                                  spectral_dtype="float32",
+                                  mesh_dtype="float32")
+        tag = f"{n}sq"
+        step_kw = {"jvp_dtype": "float32", "jvp_kernel": True,
+                   "deviation_form": True}
+        s = (1024.0 / n) ** 2
+        dtmesh_inf, dtmesh_ev = 5e-9 * min(1.0, s), 1e-10 * min(1.0, s)
+        geometry_fn = curvilinear.mesh_geometry_dev
+        q0 = jnp.zeros(cfg.grid.shape, jnp.float64)
+
+    grid = cfg.grid
+    dt = 1e-5
+
+    # -- phase 1: quasi-static inflation -------------------------------------
+    t0 = time.time()
+    q, u = dp.inflate(cfg, DROPS, vsteps=vsteps, dtmesh=dtmesh_inf,
+                      pma_loops=20, q0=q0,
+                      geometry_fn=geometry_fn)
+    geom = geometry_fn(q, grid)
+    jnp.asarray(geom.jac).block_until_ready()
+    t_inflate = time.time() - t0
+    assert float(jnp.min(geom.jac)) > 0, "mesh tangled during inflation"
+    print(f"[{tag}] inflation {vsteps} vsteps: {t_inflate:.1f}s "
+          f"(min J = {float(jnp.min(geom.jac)):.3f})", flush=True)
+
+    # -- phase 2: coalescence evolve with the scale law ----------------------
+    solver = (dp.fast_solver() if n == 0 else
+              NewtonKrylov(f_tol=1e-5, maxiter=14, inner_m=12, outer_k=6,
+                           inner_dtype="float32", max_backtracks=4))
+    step = dp.make_step(cfg, dt=dt, dtmesh=dtmesh_ev, pma_loops=400,
+                        solver=solver, **step_kw)
+
+    def body(carry, _):
+        uu, qq, scale, t = carry
+        dt_n = dt * scale
+        out = step(uu, qq, dt_n)
+        geom_n = geometry_fn(out.q, grid)
+        r_eff = effective_radius(out.u, geom_n.jac, grid.dx, grid.dy)
+        msp = dp.min_spacing(geom_n)
+        scale_new = scale + jnp.exp(
+            -10.0 * jnp.sqrt(jnp.sum((out.u - uu) ** 2)))
+        t_new = t + dt_n
+        return (out.u, out.q, scale_new, t_new), (
+            out.newton_iters, out.f_norm, out.converged, dt_n, t_new,
+            r_eff, msp)
+
+    jf = jax.jit(lambda u0, q0: lax.scan(
+        body, (u0, q0, jnp.asarray(1.0, u.dtype), jnp.asarray(0.0, u.dtype)),
+        None, length=steps))
+
+    t0 = time.time()
+    (uf, qf, scale_f, t_f), aux = jf(u, q)
+    float(jnp.sum(uf))
+    t_evolve = time.time() - t0
+    iters, fnorms, conv, dts, ts, reffs, msps = (np.asarray(a) for a in aux)
+
+    # -- asymptotic radius law on the same time grid (droplet.py:363-365) ----
+    r0 = float(reffs[0])
+    times = np.concatenate(([0.0], ts))
+    r_asym = dp.asymptotic_radius_trajectory(cfg, r0, times)[1:]
+
+    out_path = (pathlib.Path(__file__).resolve().parent.parent
+                / "benchmarks" / f"flagship_droplet_{tag}.jsonl")
+    with open(out_path, "w") as f:
+        f.write(json.dumps({
+            "summary": True, "tag": tag, "vsteps": vsteps, "steps": steps,
+            "dt_base": dt, "inflate_s": round(t_inflate, 1),
+            "evolve_s": round(t_evolve, 1),
+            "ms_per_step": round(1000 * t_evolve / steps, 1),
+            "all_converged": bool(conv.all()),
+            "n_converged": int(conv.sum()),
+            "final_scale": float(scale_f), "final_time": float(t_f),
+            "r_eff_first": float(reffs[0]), "r_eff_final": float(reffs[-1]),
+            "r_asym_final": float(r_asym[-1]),
+            "max_fnorm": float(fnorms.max()),
+        }) + "\n")
+        for i in range(steps):
+            f.write(json.dumps({
+                "step": i + 1, "t": float(ts[i]), "dt": float(dts[i]),
+                "newton_iters": int(iters[i]), "f_norm": float(fnorms[i]),
+                "converged": bool(conv[i]), "r_eff": float(reffs[i]),
+                "r_asymptotic": float(r_asym[i]),
+                "min_spacing": float(msps[i]),
+            }) + "\n")
+    with open(out_path) as f:
+        print(f.readline().strip())
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -247,11 +247,18 @@ def initial_mesh_potential(cfg: DropletConfig, dtype=jnp.float64):
 
 
 def inflate(cfg: DropletConfig, drops, vsteps: int, dtmesh: float,
-            pma_loops: int, q0=None, dtype=jnp.float64):
+            pma_loops: int, q0=None, dtype=jnp.float64,
+            geometry_fn=None):
     """Quasi-static inflation (initialise_coalescing_droplets,
     droplet.py:152-183): ramp the drop volumes over ``vsteps`` while
-    sub-iterating the PMA mesh; one fused jit for the whole ramp."""
+    sub-iterating the PMA mesh; one fused jit for the whole ramp.
+
+    ``geometry_fn=curvilinear.mesh_geometry_dev`` interprets the state as
+    the deviation potential (large-grid f32-robust form); ``q0`` must then
+    be the deviation (zeros for an identity mesh)."""
     grid = cfg.grid
+    if geometry_fn is None:
+        geometry_fn = curvilinear.mesh_geometry
     if q0 is None:
         q0 = initial_mesh_potential(cfg, dtype)
     drops = np.asarray(drops, dtype=np.float64)  # (ndrops, 4): x, y, R, Vf
@@ -263,7 +270,7 @@ def inflate(cfg: DropletConfig, drops, vsteps: int, dtmesh: float,
         # sub-loop's monitor uses the *previous* volume step's solution
         # (U.val lags U.new by one outer iteration).
         q, u_prev = carry
-        geom = curvilinear.mesh_geometry(q, grid)
+        geom = geometry_fn(q, grid)
         frac = (i + 1).astype(q.dtype) / vsteps
         u_new = jnp.full(grid.shape, cfg.epsilon, q.dtype)
         for di in range(drops.shape[0]):
@@ -273,7 +280,8 @@ def inflate(cfg: DropletConfig, drops, vsteps: int, dtmesh: float,
             u_new = u_new + (1.0 - cfg.epsilon) * seed_height(
                 seed_profile(r, R, cfg), R, vf * frac
             )
-        q_new = loop_pma(q, u_prev, dtmesh, pma_loops, grid, cfg.pma, mon_src)
+        q_new = loop_pma(q, u_prev, dtmesh, pma_loops, grid, cfg.pma, mon_src,
+                         geometry_fn)
         return (q_new, u_new)
 
     q, u = lax.fori_loop(

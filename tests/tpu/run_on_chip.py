@@ -145,8 +145,8 @@ def main():
     geom32 = curvilinear.MeshGeometry(*(a.astype(jnp.float32) for a in geom))
     x32 = dp.seeded_solution(geom32, cfg,
                              [(0.0, 0.0, 1.0, 1.0), (3.0, 0.0, 1.0, 1.0)])
-    stack = jax.jit(lambda xx: dp.jvp_field_stack(
-        xx, geom32, cfg, jnp.float32(1e-8)))(x32)
+    stack = jax.jit(lambda xx, gg: dp.jvp_field_stack(
+        xx, gg, cfg, jnp.float32(1e-8)))(x32, geom32)
     v = jnp.array(rng.standard_normal((1024, 1024)), jnp.float32)
     assert_kernel_in_hlo("droplet_jvp",
                          lambda vv, st: jvp_matvec_pallas(vv, st, cfg.grid),
