@@ -83,8 +83,11 @@ def main():
         tag = f"{n}sq"
         step_kw = {"jvp_dtype": "float32", "jvp_kernel": True,
                    "deviation_form": True}
-        s = (1024.0 / n) ** 2
-        dtmesh_inf, dtmesh_ev = 5e-9 * min(1.0, s), 1e-10 * min(1.0, s)
+        # resolution-scaled explicit PMA step (see large_scale_droplet
+        # mesh_dt): the monitor |lap u|^2 grows ~1e4x as the 1/a interface
+        # resolves; the coarse-grid dtmesh tangles the mesh at >=1024²
+        s = min(1.0, (1024.0 / n) ** 2)
+        dtmesh_inf, dtmesh_ev = 1e-10 * s, 1e-10 * s
         geometry_fn = curvilinear.mesh_geometry_dev
         q0 = jnp.zeros(cfg.grid.shape, jnp.float64)
 
@@ -124,15 +127,26 @@ def main():
             out.newton_iters, out.f_norm, out.converged, dt_n, t_new,
             r_eff, msp)
 
-    jf = jax.jit(lambda u0, q0: lax.scan(
-        body, (u0, q0, jnp.asarray(1.0, u.dtype), jnp.asarray(0.0, u.dtype)),
-        None, length=steps))
+    # chunked dispatches: one compiled 'chunk' graph reused; a single
+    # 1000-step dispatch is a ~minute-long remote call that the tunnel's
+    # worker can drop mid-flight (observed), and chunking costs ~30 ms/chunk
+    chunk = min(steps, 100 if n == 0 else 25)
+    assert steps % chunk == 0
+    jf = jax.jit(lambda c: lax.scan(body, c, None, length=chunk))
 
     t0 = time.time()
-    (uf, qf, scale_f, t_f), aux = jf(u, q)
-    float(jnp.sum(uf))
+    carry = (u, q, jnp.asarray(1.0, u.dtype), jnp.asarray(0.0, u.dtype))
+    auxs = []
+    for ci in range(steps // chunk):
+        carry, aux = jf(carry)
+        float(jnp.sum(carry[0]))  # host sync per chunk
+        auxs.append([np.asarray(a) for a in aux])
+        print(f"  chunk {ci + 1}/{steps // chunk}: t={float(carry[3]):.3e} "
+              f"scale={float(carry[2]):.1f}", flush=True)
+    uf, qf, scale_f, t_f = carry
     t_evolve = time.time() - t0
-    iters, fnorms, conv, dts, ts, reffs, msps = (np.asarray(a) for a in aux)
+    iters, fnorms, conv, dts, ts, reffs, msps = (
+        np.concatenate([a[k] for a in auxs]) for k in range(7))
 
     # -- asymptotic radius law on the same time grid (droplet.py:363-365) ----
     r0 = float(reffs[0])

@@ -157,3 +157,31 @@ def halo_step_model(ny: int, nx: int, n_devices: int, halo_rows: int,
         "comm_compute_ratio": comm_bytes * hbm_gbps / (compute_bytes * ici_gbps),
         "weak_scaling_efficiency": t_compute / (t_compute + t_comm),
     }
+
+
+def halo_step_model_2d(ny: int, nx: int, py: int, px: int, halo: int,
+                       exchanges_per_step: int, dtype_bytes: int,
+                       compute_passes: int, hbm_gbps: float | None = None,
+                       ici_gbps: float = ICI_GBPS_PER_LINK) -> dict:
+    """Analytic comm/compute model of a 2-D block-sharded stencil step
+    (dist.halo.sharded_xy_chain): per device each exchange moves
+    ``halo``-deep strips along the block perimeter (2 row strips + 2 column
+    strips + 4 corners via the two-hop y-then-x scheme, so the column strips
+    are halo-extended: bm + 2*halo rows).  Perimeter comm scales ~1/sqrt(p)
+    at fixed global grid — the 2-D decomposition's advantage over rows-only
+    once py*px is large."""
+    if hbm_gbps is None:
+        hbm_gbps = device_hbm_gbps()
+    bm, bn = ny // py, nx // px
+    compute_bytes = compute_passes * 2 * bm * bn * dtype_bytes
+    per_exchange = (2 * halo * bn + 2 * halo * (bm + 2 * halo)) * dtype_bytes
+    comm_bytes = exchanges_per_step * per_exchange
+    t_compute = compute_bytes / (hbm_gbps * 1e9)
+    t_comm = comm_bytes / (ici_gbps * 1e9)
+    return {
+        "block": (bm, bn),
+        "compute_bytes": compute_bytes,
+        "comm_bytes": comm_bytes,
+        "comm_compute_ratio": comm_bytes * hbm_gbps / (compute_bytes * ici_gbps),
+        "weak_scaling_efficiency": t_compute / (t_compute + t_comm),
+    }
