@@ -100,9 +100,17 @@ def cmd_droplet(args) -> int:
         cfg = _apply_overrides(dp.DropletConfig(), args)
         q, u = dp.inflate(cfg, [[0.0, 0.0, cfg.R, 1.0]], args.inflate_steps,
                           5e-9, 20)
+    step_kw = {}
+    if args.fast:
+        # production fast path: f32 spectral/mesh PMA + the fused Pallas
+        # JVP matvec in the inner Krylov (ops/pallas_droplet)
+        cfg = dataclasses.replace(cfg, spectral_dtype="float32",
+                                  mesh_dtype="float32")
+        step_kw = {"solver": dp.fast_solver(), "jvp_dtype": "float32",
+                   "jvp_kernel": True}
     u, q, t, (iters, f_norms, dts) = dp.evolve(
         cfg, u, q, args.dt, args.steps, dtmesh=3e-9,
-        pma_loops=args.pma_loops,
+        pma_loops=args.pma_loops, **step_kw,
     )
     geom = curvilinear.mesh_geometry(q, cfg.grid)
     print(json.dumps({
@@ -189,6 +197,8 @@ def main(argv=None) -> int:
     p.add_argument("--dt", type=float, default=1e-5)
     p.add_argument("--pma-loops", type=int, default=400)
     p.add_argument("--inflate-steps", type=int, default=1000)
+    p.add_argument("--fast", action="store_true",
+                   help="f32 PMA + fused Pallas JVP inner Krylov")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--render", default=None)
     p.set_defaults(fn=cmd_droplet)

@@ -227,9 +227,14 @@ def seeded_solution(geom: MeshGeometry, cfg: DropletConfig,
 
 
 def asymptotic_radius_ode(r, t, cfg: DropletConfig):
-    """dR/dt of the asymptotic spreading law (asympode, droplet.py:431-433)."""
+    """dR/dt of the asymptotic spreading law (asympode, droplet.py:431-433).
+
+    Pure numpy on purpose: this 1-D ODE is integrated host-side
+    (:func:`asymptotic_radius_trajectory`) where a jnp scalar op would cost
+    one ~30 ms device dispatch per RK substage through the remote tunnel.
+    """
     lam = cfg.epsilon * 4.06522
-    return (512.0 / r ** 9 - 1.0) / (3.0 * jnp.log(0.5 * r / lam) - 3.0)
+    return (512.0 / r ** 9 - 1.0) / (3.0 * np.log(0.5 * r / lam) - 3.0)
 
 
 def rdot(R, V, cfg: DropletConfig):
@@ -380,10 +385,12 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
 
 def evolve(cfg: DropletConfig, u0, q0, dt: float, nsteps: int,
            dtmesh: float = 3e-9, pma_loops: int = 400,
-           solver: NewtonKrylov | None = None):
+           solver: NewtonKrylov | None = None, **step_kw):
     """evolve_with_PDE (droplet.py:360-411) with the reference's adaptive
-    ``scale`` law: ``scale += exp(-10 ||u_new - u_old||_2)`` per step."""
-    step = make_step(cfg, dt, dtmesh, pma_loops, solver)
+    ``scale`` law: ``scale += exp(-10 ||u_new - u_old||_2)`` per step.
+    Extra ``step_kw`` (jvp_dtype/jvp_kernel/deviation_form) forward to
+    :func:`make_step`."""
+    step = make_step(cfg, dt, dtmesh, pma_loops, solver, **step_kw)
 
     def body(carry, _):
         u, q, scale, t = carry
