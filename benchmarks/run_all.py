@@ -518,6 +518,10 @@ def bench_spmv():
         chain_fn(lambda V, d: dia._replace(data=d).matmat(V), X, dia.data),
         25, 200, reps=5)
     emit("spmm_griddia_1024sq_x8_nnz_per_s", nnz * 8 / ms / 1e6, "Gnnz/s")
+    # SpMM roofline: coefficient fields stream ONCE for all 8 rhs
+    spmm_bytes = nnz * 4 + 8 * 2 * n * n * 4
+    emit("spmm_griddia_1024sq_x8_roofline_frac",
+         spmm_bytes / ms / 1e6 / hbm, "x")
 
 
 if __name__ == "__main__":

@@ -353,9 +353,13 @@ def _pallas_roll(x, k):
     return pltpu.roll(x, shift=jnp.int32((-k) % x.shape[1]), axis=1)
 
 
-def jvp_matvec_pallas(v2, stack, grid: Grid2D, block_rows: int = 16):
+def jvp_matvec_pallas(v2, stack, grid: Grid2D, block_rows: int = 64):
     """``v - dF2[v]`` on the (ny, nx) grid; falls back to the jnp mirror
-    off-TPU, for non-f32 dtypes, or for kernel-unfriendly shapes."""
+    off-TPU, for non-f32 dtypes, or for kernel-unfriendly shapes.
+
+    block_rows=64 measured fastest at 4096² (tools/tune_droplet_jvp.py:
+    4.23/3.11/2.44/2.15 ms at bm=8/16/32/64 — VMEM on v5e comfortably holds
+    the 9-field double-buffered slabs at 64)."""
     ny, nx = v2.shape
     bm = block_rows
     if (not _on_tpu() or v2.dtype != jnp.float32
