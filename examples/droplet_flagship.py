@@ -89,11 +89,12 @@ def main():
         tag = f"{n}sq"
         step_kw = {"jvp_dtype": "float32", "jvp_kernel": True,
                    "deviation_form": True}
-        # resolution-scaled explicit PMA step (see large_scale_droplet
-        # mesh_dt): the monitor |lap u|^2 grows ~1e4x as the 1/a interface
-        # resolves; the coarse-grid dtmesh tangles the mesh at >=1024²
+        # resolution-scaled explicit PMA step: the monitor |lap u|^2 grows
+        # ~1e4x as the 1/a interface resolves, and the PMA velocity with it;
+        # 1e-11 measured stable AND well-adapted through the full 20k-iter
+        # inflation at 1024² (minJ 0.79; 1e-10 tangles)
         s = min(1.0, (1024.0 / n) ** 2)
-        dtmesh_inf, dtmesh_ev = 1e-10 * s, 1e-10 * s
+        dtmesh_inf, dtmesh_ev = 1e-11 * s, 1e-11 * s
         geometry_fn = curvilinear.mesh_geometry_dev
         q0 = jnp.zeros(cfg.grid.shape, jnp.float64)
 
@@ -120,18 +121,46 @@ def main():
                         solver=solver, **step_kw)
 
     def body(carry, _):
+        # the reference's scale law grows dt_n without bound and has no
+        # recovery when newton_krylov stops converging (observed at
+        # dt_n ~ 1.4e-3: iters 3 -> 20, then NaN).  Wrap each step in the
+        # framework's dt backoff (solvers/adaptive.py semantics): halve the
+        # scale on divergence/NaN and retry, bounded.
         uu, qq, scale, t = carry
-        dt_n = dt * scale
-        out = step(uu, qq, dt_n)
-        geom_n = geometry_fn(out.q, grid)
-        r_eff = effective_radius(out.u, geom_n.jac, grid.dx, grid.dy)
+
+        def attempt_cond(s):
+            _, _, k, ok = s
+            return (~ok) & (k < 4)
+
+        def attempt_body(s):
+            _, sc, k, _ = s
+            sc = jnp.where(k > 0, sc * 0.5, sc)
+            out = step(uu, qq, dt * sc)
+            ok = (out.converged & jnp.all(jnp.isfinite(out.u))
+                  & jnp.all(jnp.isfinite(out.q)))
+            return (out, sc, k + 1, ok)
+
+        out0 = dp.DropletStepResult(
+            u=uu, q=qq, newton_iters=jnp.int32(0),
+            f_norm=jnp.asarray(jnp.inf, uu.dtype),
+            converged=jnp.bool_(False))
+        out, scale_t, attempts, ok = lax.while_loop(
+            attempt_cond, attempt_body,
+            (out0, scale, jnp.int32(0), jnp.bool_(False)))
+        dt_n = dt * scale_t
+        # reject entirely if every retry failed (state frozen, scale cut)
+        u_n = jnp.where(ok, out.u, uu)
+        q_n = jnp.where(ok, out.q, qq)
+        geom_n = geometry_fn(q_n, grid)
+        r_eff = effective_radius(u_n, geom_n.jac, grid.dx, grid.dy)
         msp = dp.min_spacing(geom_n)
-        scale_new = scale + jnp.exp(
-            -10.0 * jnp.sqrt(jnp.sum((out.u - uu) ** 2)))
-        t_new = t + dt_n
-        return (out.u, out.q, scale_new, t_new), (
-            out.newton_iters, out.f_norm, out.converged, dt_n, t_new,
-            r_eff, msp)
+        scale_new = jnp.where(
+            ok,
+            scale_t + jnp.exp(-10.0 * jnp.sqrt(jnp.sum((u_n - uu) ** 2))),
+            scale_t * 0.5)
+        t_new = t + jnp.where(ok, dt_n, 0.0)
+        return (u_n, q_n, scale_new, t_new), (
+            out.newton_iters, out.f_norm, ok, dt_n, t_new, r_eff, msp)
 
     # chunked dispatches: one compiled 'chunk' graph reused; a single
     # 1000-step dispatch is a ~minute-long remote call that the tunnel's
