@@ -99,9 +99,19 @@ def main():
         q0 = jnp.zeros(cfg.grid.shape, jnp.float64)
 
     grid = cfg.grid
-    dt = 1e-5
+    # base dt: 1e-5 at the reference's own grid; at fine grids the resolved
+    # 1/a interface stiffens the nonlinear system by orders of magnitude —
+    # examples/large_scale_droplet.py measured 2e-9 (1024²) .. 5e-10 (4096²)
+    # as the convergent range, and the scale law grows from there
+    dt = 1e-5 if n == 0 else 1e-9 * min(1.0, 2048.0 / n)
+    # the reference's scale law uses an UN-normalised ||dU||_2 (tuned to its
+    # 5551-dof grid); keep it verbatim at 91x61, normalise to the same
+    # per-dof scale at n².
+    norm_scale = 1.0 if n == 0 else np.sqrt(5551.0 / (n * n))
 
     # -- phase 1: quasi-static inflation -------------------------------------
+    print(f"[{tag}] compiling + running inflation ({vsteps} vsteps)...",
+          flush=True)
     t0 = time.time()
     q, u = dp.inflate(cfg, DROPS, vsteps=vsteps, dtmesh=dtmesh_inf,
                       pma_loops=20, q0=q0,
@@ -156,7 +166,8 @@ def main():
         msp = dp.min_spacing(geom_n)
         scale_new = jnp.where(
             ok,
-            scale_t + jnp.exp(-10.0 * jnp.sqrt(jnp.sum((u_n - uu) ** 2))),
+            scale_t + jnp.exp(
+                -10.0 * norm_scale * jnp.sqrt(jnp.sum((u_n - uu) ** 2))),
             scale_t * 0.5)
         t_new = t + jnp.where(ok, dt_n, 0.0)
         return (u_n, q_n, scale_new, t_new), (
