@@ -126,3 +126,20 @@ def test_contact_line_diagnostics():
     assert float(stats["min_distance"]) < 0.02
     # adapted mesh: band spacing within an order of magnitude of 1/a
     assert float(stats["min_band_spacing"]) < 10.0 / cfg.a
+
+
+def test_inflation_reproduces_reference_fixture():
+    """The reference's own checked-in coalescence fixture was generated by
+    initialise_coalescing_droplets(1000, [[0,0,1,1],[3,0,1,1]], 5e-9, 20)
+    (droplet.py:127); our fused-jit inflate must reproduce it from scratch.
+    This is the strongest whole-driver parity gate in the suite: 20,000 PMA
+    sub-iterations + 1000 seeded-solution updates, matching to f64
+    roundoff accumulation (measured 8e-13 in q, 9e-12 in u)."""
+    fixture = fx.load(COAL)
+    cfg = fx.config_for(fixture)
+    q, u = dp.inflate(cfg, [(0.0, 0.0, 1.0, 1.0), (3.0, 0.0, 1.0, 1.0)],
+                      vsteps=1000, dtmesh=5e-9, pma_loops=20)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(fixture.q),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(fixture.u),
+                               atol=1e-10)
