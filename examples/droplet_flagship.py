@@ -89,12 +89,18 @@ def main():
         tag = f"{n}sq"
         step_kw = {"jvp_dtype": "float32", "jvp_kernel": True,
                    "deviation_form": True}
-        # resolution-scaled explicit PMA step: the monitor |lap u|^2 grows
-        # ~1e4x as the 1/a interface resolves, and the PMA velocity with it;
-        # 1e-11 measured stable AND well-adapted through the full 20k-iter
-        # inflation at 1024² (minJ 0.79; 1e-10 tangles)
+        # inflation: resolution-scaled explicit PMA step — the monitor
+        # |lap u|^2 grows ~1e4x as the 1/a interface resolves, and the PMA
+        # velocity with it; 1e-11 measured stable AND well-adapted through
+        # the full 20k-iter inflation at 1024² (minJ 0.79; 1e-10 tangles).
+        # evolve: preserve the 91x61 run's proven mesh-pseudo-time :
+        # physical-time ratio (400 * 3e-10 per dt=1e-5 = 1.2e-2) at the
+        # resolution-scaled dt — a fixed dtmesh over-adapts ~170x per unit
+        # physical time and degrades the mesh until no dt converges
+        # (measured at 1024²)
         s = min(1.0, (1024.0 / n) ** 2)
-        dtmesh_inf, dtmesh_ev = 1e-11 * s, 1e-11 * s
+        dtmesh_inf = 1e-11 * s
+        dtmesh_ev = 1.2e-2 * (1e-9 * min(1.0, 2048.0 / n)) / 400.0
         geometry_fn = curvilinear.mesh_geometry_dev
         q0 = jnp.zeros(cfg.grid.shape, jnp.float64)
 
