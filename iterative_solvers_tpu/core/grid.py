@@ -81,6 +81,27 @@ class Grid2D:
         """y coordinate at every node, shape (Ny, Nx)."""
         return np.broadcast_to(self.y[:, None], self.shape).copy()
 
+    def xx_op(self, dtype=np.float64):
+        """In-graph ``(Ny, Nx)`` x-coordinate field.
+
+        Same values as :attr:`xx` (a cast of the f64 linspace row), but the
+        graph constant is the *1-D row* broadcast lazily under jit — a
+        materialised 4096² f64 ``xx`` is a 134 MB literal in every jitted
+        graph, which inflates compile time and overflows the remote-compile
+        request limit (HTTP 413).  Use this inside traced code.
+        """
+        import jax.numpy as jnp
+
+        row = jnp.asarray(self.x).astype(dtype)
+        return jnp.broadcast_to(row[None, :], self.shape)
+
+    def yy_op(self, dtype=np.float64):
+        """In-graph ``(Ny, Nx)`` y-coordinate field (see :meth:`xx_op`)."""
+        import jax.numpy as jnp
+
+        col = jnp.asarray(self.y).astype(dtype)
+        return jnp.broadcast_to(col[:, None], self.shape)
+
     # -- boundary masks (static numpy bool arrays) ------------------------
     @cached_property
     def mask_left(self) -> np.ndarray:

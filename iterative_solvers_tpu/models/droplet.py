@@ -247,8 +247,7 @@ def rdot(R, V, cfg: DropletConfig):
 def initial_mesh_potential(cfg: DropletConfig, dtype=jnp.float64):
     """Q = (ksi^2 + eta^2)/2 — identity mesh (droplet.py:103)."""
     grid = cfg.grid
-    return 0.5 * (jnp.asarray(grid.xx, dtype) ** 2
-                  + jnp.asarray(grid.yy, dtype) ** 2)
+    return 0.5 * (grid.xx_op(dtype) ** 2 + grid.yy_op(dtype) ** 2)
 
 
 def inflate(cfg: DropletConfig, drops, vsteps: int, dtmesh: float,

@@ -171,7 +171,7 @@ def make_step(cfg: MEMSConfig, solver: NewtonKrylov | None = None):
 def initial_state(cfg: MEMSConfig, dtype=jnp.float64):
     """u = 0, Q = (ksi^2 + eta^2)/2 (PMA2_nk.py:68-71)."""
     grid = cfg.grid
-    q = 0.5 * (jnp.asarray(grid.xx, dtype) ** 2 + jnp.asarray(grid.yy, dtype) ** 2)
+    q = 0.5 * (grid.xx_op(dtype) ** 2 + grid.yy_op(dtype) ** 2)
     u = jnp.zeros(grid.shape, dtype)
     return u, q
 

@@ -116,8 +116,8 @@ def mesh_geometry_dev(phi, grid: Grid2D, coords=None) -> MeshGeometry:
     pxy = pxy.at[0, :].set(0.0).at[-1, :].set(0.0)
 
     if coords is None:
-        xx_id = jnp.asarray(grid.xx, phi.dtype)
-        yy_id = jnp.asarray(grid.yy, phi.dtype)
+        xx_id = grid.xx_op(phi.dtype)
+        yy_id = grid.yy_op(phi.dtype)
     else:
         xx_id = coords[0].astype(phi.dtype)
         yy_id = coords[1].astype(phi.dtype)
@@ -130,8 +130,7 @@ def mesh_geometry_dev(phi, grid: Grid2D, coords=None) -> MeshGeometry:
 
 def to_deviation(q, grid: Grid2D):
     """Split a full mesh potential into its identity part and deviation."""
-    q_id = 0.5 * (jnp.asarray(grid.xx, q.dtype) ** 2
-                  + jnp.asarray(grid.yy, q.dtype) ** 2)
+    q_id = 0.5 * (grid.xx_op(q.dtype) ** 2 + grid.yy_op(q.dtype) ** 2)
     return q - q_id
 
 
