@@ -39,6 +39,76 @@ def _norm(a):
     return jnp.sqrt(_dot(a, a))
 
 
+def _round_up(n: int, c: int) -> int:
+    return ((n + c - 1) // c) * c
+
+
+# Fields at/above this size use the chunked active-row CGS2 (traffic win
+# grows with the field; below it the whole-buffer matmuls are faster —
+# measured at 1024² the chunked form costs +6 ms/step in loop overhead
+# while at 4096² the whole-buffer form wastes ~5 GB HBM per Arnoldi step).
+_CGS2_CHUNK_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _cgs2(V, w, rows):
+    """CGS2 of ``w`` against the live rows of ``V`` — whole-buffer matmuls
+    for small fields, chunked active-row passes (:func:`_cgs2_active`) for
+    large ones.  The zero rows of ``V`` are inert in both forms."""
+    import numpy as np
+
+    field_bytes = int(np.prod(V.shape[1:], dtype=np.int64)) * V.dtype.itemsize
+    if field_bytes < _CGS2_CHUNK_MIN_BYTES:
+        h = jnp.tensordot(V, w, axes=w.ndim)
+        w = w - jnp.tensordot(h, V, axes=1)
+        h2 = jnp.tensordot(V, w, axes=w.ndim)
+        w = w - jnp.tensordot(h2, V, axes=1)
+        return h + h2, w
+    return _cgs2_active(V, w, rows)
+
+
+def _cgs2_active(V, w, rows, chunk: int = 4):
+    """Two-round classical Gram–Schmidt of ``w`` against the first ``rows``
+    (traced) rows of the orthonormal buffer ``V``.
+
+    Mathematically identical to the whole-buffer form ``h = V·w; w -= h·V``
+    (rows at/beyond ``rows`` are zero and contribute nothing) but touches
+    only ``ceil(rows/chunk)`` static-size chunks of the basis per pass —
+    the whole-buffer form reads the full static ``(mtot+1, n)`` allocation
+    four times per Arnoldi step regardless of how many rows are live.  At
+    4096² with ``inner_m + outer_k = 18`` that is ~5 GB of HBM traffic per
+    inner iteration, the second-largest cost of a large-grid Newton step
+    after the f64 residual (tools/profile_large_step.py).
+
+    ``V.shape[0]`` must be a chunk multiple (callers pad the buffer; the
+    extra zero rows are inert).  Returns ``(h, w_deflated)`` with ``h`` of
+    length ``V.shape[0]``.
+    """
+    nrows = V.shape[0]
+    assert nrows % chunk == 0, "pad V to a chunk multiple"
+    nact = (rows + (chunk - 1)) // chunk
+
+    def one_round(w):
+        def proj(c, acc):
+            h, w = acc
+            vc = lax.dynamic_slice_in_dim(V, c * chunk, chunk, 0)
+            hc = jnp.tensordot(vc, w, axes=w.ndim)
+            return lax.dynamic_update_slice_in_dim(h, hc, c * chunk, 0), w
+
+        h, _ = lax.fori_loop(
+            0, nact, proj, (jnp.zeros((nrows,), V.dtype), w))
+
+        def defl(c, w):
+            vc = lax.dynamic_slice_in_dim(V, c * chunk, chunk, 0)
+            hc = lax.dynamic_slice_in_dim(h, c * chunk, chunk, 0)
+            return w - jnp.tensordot(hc, vc, axes=1)
+
+        return h, lax.fori_loop(0, nact, defl, w)
+
+    h1, w = one_round(w)
+    h2, w = one_round(w)
+    return h1 + h2, w
+
+
 def _apply_givens(h, cs, sn, j):
     """Apply the first ``j`` stored rotations to the new column ``h``."""
     m = cs.shape[0]
@@ -61,7 +131,7 @@ def _gmres_cycle(matvec, precond, b, x0, r0, r0norm, tol_abs, restart):
     shape = b.shape
     m = restart
 
-    V = jnp.zeros((m + 1,) + shape, dtype=dtype)
+    V = jnp.zeros((_round_up(m + 1, 4),) + shape, dtype=dtype)
     V = V.at[0].set(r0 / jnp.where(r0norm > 0, r0norm, 1.0))
     R = jnp.eye(m, dtype=dtype)
     g = jnp.zeros(m + 1, dtype=dtype).at[0].set(r0norm)
@@ -75,12 +145,8 @@ def _gmres_cycle(matvec, precond, b, x0, r0, r0norm, tol_abs, restart):
     def body(state):
         V, R, g, cs, sn, j, res = state
         w = matvec(precond(V[j]))
-        # CGS2: project twice against the orthonormal basis (zero rows inert)
-        h = jnp.tensordot(V, w, axes=w.ndim)
-        w = w - jnp.tensordot(h, V, axes=1)
-        h2 = jnp.tensordot(V, w, axes=w.ndim)
-        w = w - jnp.tensordot(h2, V, axes=1)
-        h = h + h2
+        # CGS2 against the j+1 live basis rows (size-gated form)
+        h, w = _cgs2(V, w, j + 1)
         beta = _norm(w)
         V = V.at[j + 1].set(w / jnp.where(beta > 0, beta, 1.0))
 

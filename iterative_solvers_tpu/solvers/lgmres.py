@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .gmres import _norm, _apply_givens
+from .gmres import _norm, _apply_givens, _cgs2, _round_up
 
 
 class LgmresRecycle(NamedTuple):
@@ -86,7 +86,7 @@ def _lgmres_cycle(matvec, precond, x, r, rnorm, tol_abs, inner_m, rec, store_av)
     mtot = inner_m + outer_k
     steps = inner_m + rec.count  # dynamic trip count <= mtot
 
-    V = jnp.zeros((mtot + 1,) + shape, dtype=dtype)
+    V = jnp.zeros((_round_up(mtot + 1, 4),) + shape, dtype=dtype)
     V = V.at[0].set(precond(r) / jnp.where(rnorm > 0, rnorm, 1.0))
     Z = jnp.zeros((mtot,) + shape, dtype=dtype)
     R = jnp.eye(mtot, dtype=dtype)
@@ -110,12 +110,8 @@ def _lgmres_cycle(matvec, precond, x, r, rnorm, tol_abs, inner_m, rec, store_av)
             lambda: matvec(z),
         )
         Z = Z.at[j].set(z)
-        # CGS2 against the orthonormal V basis (zero rows are inert)
-        h = jnp.tensordot(V, w, axes=w.ndim)
-        w = w - jnp.tensordot(h, V, axes=1)
-        h2 = jnp.tensordot(V, w, axes=w.ndim)
-        w = w - jnp.tensordot(h2, V, axes=1)
-        h = h + h2
+        # CGS2 against the j+1 live basis rows (size-gated form)
+        h, w = _cgs2(V, w, j + 1)
         beta = _norm(w)
         V = V.at[j + 1].set(w / jnp.where(beta > 0, beta, 1.0))
 

@@ -69,3 +69,21 @@ def test_f32_deviation_robust_at_fine_grid():
     # why the deviation form exists (the margin grows with grid size and
     # with the sharper deviations of real adapted meshes)
     assert err_full > 10 * err_dev, (err_full, err_dev)
+
+
+def test_coords_op_bit_identical():
+    """grid.xx_op/yy_op (in-graph broadcast coordinates — no O(n^2) graph
+    literal) must be bit-identical to the materialised grid.xx/yy in both
+    dtypes, under jit and eagerly."""
+    import jax
+
+    grid = Grid2D(nx=91, ny=61, xl=-3, xr=6, yb=-3, yt=3)
+    for dt in (jnp.float64, jnp.float32):
+        want_x = np.asarray(grid.xx, dtype=dt)
+        want_y = np.asarray(grid.yy, dtype=dt)
+        assert np.array_equal(np.asarray(grid.xx_op(dt)), want_x)
+        assert np.array_equal(np.asarray(grid.yy_op(dt)), want_y)
+        jx = jax.jit(lambda: grid.xx_op(dt) + 0.0)()
+        jy = jax.jit(lambda: grid.yy_op(dt) + 0.0)()
+        assert np.array_equal(np.asarray(jx), want_x)
+        assert np.array_equal(np.asarray(jy), want_y)

@@ -127,3 +127,39 @@ def test_lgmres_single_cycle_mirrors_jfnk_usage():
                       recycle=rec, store_av=False)
     r0 = np.linalg.norm(b)
     assert float(res.resnorm) < 0.1 * r0
+
+
+def test_cgs2_chunked_matches_whole_buffer(monkeypatch):
+    """The chunked active-row CGS2 (large-field path, gated by
+    _CGS2_CHUNK_MIN_BYTES) must reproduce the whole-buffer orthogonalisation:
+    same GMRES/LGMRES solutions and iteration counts on the same system."""
+    import numpy as np
+    import jax.numpy as jnp
+    import sys
+
+    from iterative_solvers_tpu.solvers.gmres import gmres
+    from iterative_solvers_tpu.solvers.lgmres import lgmres
+    # the solvers package re-exports the gmres *function*; grab the module
+    gm = sys.modules["iterative_solvers_tpu.solvers.gmres"]
+
+    rng = np.random.default_rng(3)
+    n = 40
+    A = np.eye(n) * 4.0 + rng.standard_normal((n, n)) * 0.3
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    mv = lambda v: Aj @ v
+
+    base_g = gmres(mv, jnp.asarray(b), restart=15, tol=1e-10)
+    base_l, _ = lgmres(mv, jnp.asarray(b), inner_m=10, outer_k=3, tol=1e-10)
+
+    monkeypatch.setattr(gm, "_CGS2_CHUNK_MIN_BYTES", 0)
+    chg = gmres(mv, jnp.asarray(b), restart=15, tol=1e-10)
+    chl, _ = lgmres(mv, jnp.asarray(b), inner_m=10, outer_k=3, tol=1e-10)
+
+    assert chg.converged and chl.converged
+    assert int(chg.iters) == int(base_g.iters)
+    assert int(chl.iters) == int(base_l.iters)
+    np.testing.assert_allclose(np.asarray(chg.x), np.asarray(base_g.x),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(chl.x), np.asarray(base_l.x),
+                               rtol=0, atol=1e-9)
