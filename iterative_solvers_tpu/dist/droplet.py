@@ -106,8 +106,12 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
         return smap(_lift(chain, depth),
                     in_specs=(spec,) * n_in, out_specs=spec)
 
-    xx = jnp.asarray(grid.xx)
-    yy = jnp.asarray(grid.yy)
+    def _coords(ref):
+        # in-graph lazy broadcasts (grid.xx_op) rather than closed-over
+        # device arrays: a closed-over (Ny, Nx) f64 coordinate plane becomes
+        # an O(n²) literal in every jitted graph using these ops (134 MB at
+        # 4096² — overflows the remote-compile request limit)
+        return grid.xx_op(ref.dtype), grid.yy_op(ref.dtype)
 
     def _geom(phi, xxb, yyb):
         return curvilinear.mesh_geometry_dev(phi, grid, coords=(xxb, yyb))
@@ -125,6 +129,7 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
 
     def residual(u, u_old, F, phi, dt):
         body = sharded(partial(_residual_chain, dt), DEPTH_RESIDUAL, 6)
+        xx, yy = _coords(phi)
         return body(u, u_old, F, phi, xx, yy)
 
     def _pde_rhs_chain(u, phi, xxb, yyb):
@@ -136,6 +141,7 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
         return dp._flux_divergence(p_dx, p_dy, u, geom, grid, cfg)
 
     def pde_rhs(u, phi):
+        xx, yy = _coords(phi)
         return sharded(_pde_rhs_chain, DEPTH_RESIDUAL, 4)(u, phi, xx, yy)
 
     # -- monitor chain + Mackenzie (global reduction outside shard_map) -----
@@ -150,6 +156,7 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
         return _geom(phi, xxb, yyb).jac
 
     def monitor(u, phi):
+        xx, yy = _coords(phi)
         mon = sharded(_monitor_chain, DEPTH_MONITOR, 4)(u, phi, xx, yy)
         jac = sharded(_jac_chain, DEPTH_GEOM, 3)(phi, xx, yy)
         integral = jnp.sum(mon * jnp.abs(jac)) * grid.dx * grid.dy
