@@ -89,17 +89,20 @@ class Grid2D:
         materialised 4096² f64 ``xx`` is a 134 MB literal in every jitted
         graph, which inflates compile time and overflows the remote-compile
         request limit (HTTP 413).  Use this inside traced code.
+
+        The cast happens in numpy so the requested dtype is honored even
+        with jax x64 disabled (jnp.asarray would silently give f32 there).
         """
         import jax.numpy as jnp
 
-        row = jnp.asarray(self.x).astype(dtype)
+        row = jnp.asarray(np.asarray(self.x, dtype=dtype))
         return jnp.broadcast_to(row[None, :], self.shape)
 
     def yy_op(self, dtype=np.float64):
         """In-graph ``(Ny, Nx)`` y-coordinate field (see :meth:`xx_op`)."""
         import jax.numpy as jnp
 
-        col = jnp.asarray(self.y).astype(dtype)
+        col = jnp.asarray(np.asarray(self.y, dtype=dtype))
         return jnp.broadcast_to(col[:, None], self.shape)
 
     # -- boundary masks (static numpy bool arrays) ------------------------

@@ -110,7 +110,9 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
         # in-graph lazy broadcasts (grid.xx_op) rather than closed-over
         # device arrays: a closed-over (Ny, Nx) f64 coordinate plane becomes
         # an O(n²) literal in every jitted graph using these ops (134 MB at
-        # 4096² — overflows the remote-compile request limit)
+        # 4096² — overflows the remote-compile request limit).  The returned
+        # ops are meant to be consumed under jit (the production path), where
+        # the broadcast is free; eager callers pay a per-call materialisation.
         return grid.xx_op(ref.dtype), grid.yy_op(ref.dtype)
 
     def _geom(phi, xxb, yyb):

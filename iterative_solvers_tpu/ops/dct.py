@@ -9,6 +9,15 @@ matmuls, which is exactly what the MXU is built for (for the reference's
 
 ``dct2`` is orthonormal, so the inverse transform is the transpose —
 ``idct2`` reuses the same basis matrices.
+
+All matmuls run at ``lax.Precision.HIGHEST``.  This is load-bearing on
+TPU: the default precision runs f32 matmuls through bf16 passes (~1e-2
+relative error), which on chip injected mesh-velocity noise large enough
+to tangle the moving mesh and NaN the production mixed-precision droplet
+step within 5 steps — while the identical f32 configuration on CPU
+(true-f32 matmuls) converged.  HIGHEST restores full f32 accuracy at
+~6x the matmul flops, which is still microseconds at reference grids and
+a few ms at 4096² (the transforms are a small fraction of a PMA iter).
 """
 from __future__ import annotations
 
@@ -16,6 +25,9 @@ from functools import lru_cache
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
+
+_PRECISION = lax.Precision.HIGHEST
 
 
 @lru_cache(maxsize=32)
@@ -33,24 +45,28 @@ def dct2(u):
     """Orthonormal DCT-II along both axes of a 2-D field."""
     cy = jnp.asarray(_dct2_basis(u.shape[0], str(u.dtype)))
     cx = jnp.asarray(_dct2_basis(u.shape[1], str(u.dtype)))
-    return cy @ u @ cx.T
+    return jnp.matmul(jnp.matmul(cy, u, precision=_PRECISION), cx.T,
+                      precision=_PRECISION)
 
 
 def idct2(u):
     """Inverse (orthonormal DCT-III) along both axes."""
     cy = jnp.asarray(_dct2_basis(u.shape[0], str(u.dtype)))
     cx = jnp.asarray(_dct2_basis(u.shape[1], str(u.dtype)))
-    return cy.T @ u @ cx
+    return jnp.matmul(jnp.matmul(cy.T, u, precision=_PRECISION), cx,
+                      precision=_PRECISION)
 
 
 def dct1d(u, axis: int = -1):
     c = jnp.asarray(_dct2_basis(u.shape[axis], str(u.dtype)))
-    return jnp.moveaxis(jnp.tensordot(c, jnp.moveaxis(u, axis, 0), axes=1), 0, axis)
+    return jnp.moveaxis(jnp.tensordot(c, jnp.moveaxis(u, axis, 0), axes=1,
+                                      precision=_PRECISION), 0, axis)
 
 
 def idct1d(u, axis: int = -1):
     c = jnp.asarray(_dct2_basis(u.shape[axis], str(u.dtype)))
-    return jnp.moveaxis(jnp.tensordot(c.T, jnp.moveaxis(u, axis, 0), axes=1), 0, axis)
+    return jnp.moveaxis(jnp.tensordot(c.T, jnp.moveaxis(u, axis, 0), axes=1,
+                                      precision=_PRECISION), 0, axis)
 
 
 @lru_cache(maxsize=32)
@@ -67,4 +83,5 @@ def dst2(u):
     Dirichlet 5-point Laplacian — used by the fast Poisson solver)."""
     sy = jnp.asarray(_dst1_basis(u.shape[0], str(u.dtype)))
     sx = jnp.asarray(_dst1_basis(u.shape[1], str(u.dtype)))
-    return sy @ u @ sx.T
+    return jnp.matmul(jnp.matmul(sy, u, precision=_PRECISION), sx.T,
+                      precision=_PRECISION)

@@ -151,7 +151,8 @@ class BSR(NamedTuple):
         xb = x.reshape(-1, bs)                       # (nbcols, bs)
         gathered = xb[self.indices]                  # (nblocks, bs)
         # dense (bs, bs) x (bs,) per block — batched matmul on the MXU
-        prod = jnp.einsum("nij,nj->ni", self.data, gathered)
+        prod = jnp.einsum("nij,nj->ni", self.data, gathered,
+                          precision=jax.lax.Precision.HIGHEST)
         y = jax.ops.segment_sum(prod, self.rows,
                                 num_segments=self.shape[0] // bs)
         return y.reshape(x.shape if self.shape[0] == x.size else (self.shape[0],))
@@ -161,7 +162,8 @@ class BSR(NamedTuple):
         bs = self.blocksize
         Xb = X.reshape(-1, bs, X.shape[-1])            # (nbcols, bs, nrhs)
         gathered = Xb[self.indices]                    # (nblocks, bs, nrhs)
-        prod = jnp.einsum("nij,njk->nik", self.data, gathered)
+        prod = jnp.einsum("nij,njk->nik", self.data, gathered,
+                          precision=jax.lax.Precision.HIGHEST)
         y = jax.ops.segment_sum(prod, self.rows,
                                 num_segments=self.shape[0] // bs)
         return y.reshape(self.shape[0], X.shape[-1])

@@ -19,6 +19,7 @@ are the reference's exact ones so numerical parity holds to rounding:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -31,7 +32,11 @@ def _edge_rows(u, strip_w: int, coefs: np.ndarray, side: str):
     """
     c = jnp.asarray(coefs, dtype=u.dtype)
     strip = u[..., :strip_w] if side == "lo" else u[..., -strip_w:]
-    return jnp.einsum("...i,ri->...r", strip, c)
+    # HIGHEST: TPU default would run f32 contractions through bf16 passes —
+    # these boundary rows feed the mesh geometry, where bf16 noise in
+    # O(Q/h^2) terms is amplified by later differencing (cost: edge-only).
+    return jnp.einsum("...i,ri->...r", strip, c,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # -- first derivative --------------------------------------------------------

@@ -19,7 +19,13 @@ from functools import lru_cache
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.dct import _dst1_basis
+from ..ops.dct import _dst1_basis, _PRECISION
+
+
+def _mm(a, b):
+    # HIGHEST precision: the TPU default runs f32 matmuls via bf16 passes,
+    # which would put ~1e-3 relative noise in a *direct* solver's answer.
+    return jnp.matmul(a, b, precision=_PRECISION)
 
 
 @lru_cache(maxsize=16)
@@ -43,8 +49,8 @@ def poisson_dirichlet_solve(f, hx: float, hy: float | None = None):
         jnp.asarray(_dirichlet_eigs(my, hy, dt))[:, None]
         + jnp.asarray(_dirichlet_eigs(mx, hx, dt))[None, :]
     )
-    fhat = sy @ f @ sx.T
-    return sy.T @ (fhat / lam) @ sx
+    fhat = _mm(_mm(sy, f), sx.T)
+    return _mm(_mm(sy.T, fhat / lam), sx)
 
 
 def helmholtz_dirichlet_solve(f, shift: float, hx: float, hy: float | None = None):
@@ -59,5 +65,5 @@ def helmholtz_dirichlet_solve(f, shift: float, hx: float, hy: float | None = Non
         jnp.asarray(_dirichlet_eigs(my, hy, dt))[:, None]
         + jnp.asarray(_dirichlet_eigs(mx, hx, dt))[None, :]
     )
-    fhat = sy @ f @ sx.T
-    return sy.T @ (fhat / (shift - lam)) @ sx
+    fhat = _mm(_mm(sy, f), sx.T)
+    return _mm(_mm(sy.T, fhat / (shift - lam)), sx)

@@ -31,8 +31,15 @@ class GmresResult(NamedTuple):
     converged: jax.Array
 
 
+# All contractions run at HIGHEST precision: on TPU the default lowers f32
+# dot_generals to bf16 MXU passes (~1e-3 relative error), which corrupts
+# Gram–Schmidt orthogonality and the Givens residual recurrence.  The
+# CGS2 matvecs are HBM-bandwidth-bound, so the extra MXU passes are free.
+_PREC = lax.Precision.HIGHEST
+
+
 def _dot(a, b):
-    return jnp.tensordot(a, b, axes=a.ndim)
+    return jnp.tensordot(a, b, axes=a.ndim, precision=_PREC)
 
 
 def _norm(a):
@@ -41,6 +48,19 @@ def _norm(a):
 
 def _round_up(n: int, c: int) -> int:
     return ((n + c - 1) // c) * c
+
+
+def _basis_rows(m_plus_1: int, shape, itemsize: int) -> int:
+    """Row count for the Arnoldi basis buffer: padded to the chunked-CGS2
+    chunk multiple only when the field is large enough to take that path —
+    small-field solves keep the exact ``(m+1, ...)`` buffer (the whole-buffer
+    CGS2 reads every row, so padding there is pure waste; advisor r3)."""
+    import numpy as np
+
+    field_bytes = int(np.prod(shape, dtype=np.int64)) * itemsize
+    if field_bytes < _CGS2_CHUNK_MIN_BYTES:
+        return m_plus_1
+    return _round_up(m_plus_1, 4)
 
 
 # Fields at/above this size use the chunked active-row CGS2 (traffic win
@@ -58,10 +78,10 @@ def _cgs2(V, w, rows):
 
     field_bytes = int(np.prod(V.shape[1:], dtype=np.int64)) * V.dtype.itemsize
     if field_bytes < _CGS2_CHUNK_MIN_BYTES:
-        h = jnp.tensordot(V, w, axes=w.ndim)
-        w = w - jnp.tensordot(h, V, axes=1)
-        h2 = jnp.tensordot(V, w, axes=w.ndim)
-        w = w - jnp.tensordot(h2, V, axes=1)
+        h = jnp.tensordot(V, w, axes=w.ndim, precision=_PREC)
+        w = w - jnp.tensordot(h, V, axes=1, precision=_PREC)
+        h2 = jnp.tensordot(V, w, axes=w.ndim, precision=_PREC)
+        w = w - jnp.tensordot(h2, V, axes=1, precision=_PREC)
         return h + h2, w
     return _cgs2_active(V, w, rows)
 
@@ -91,7 +111,7 @@ def _cgs2_active(V, w, rows, chunk: int = 4):
         def proj(c, acc):
             h, w = acc
             vc = lax.dynamic_slice_in_dim(V, c * chunk, chunk, 0)
-            hc = jnp.tensordot(vc, w, axes=w.ndim)
+            hc = jnp.tensordot(vc, w, axes=w.ndim, precision=_PREC)
             return lax.dynamic_update_slice_in_dim(h, hc, c * chunk, 0), w
 
         h, _ = lax.fori_loop(
@@ -100,7 +120,7 @@ def _cgs2_active(V, w, rows, chunk: int = 4):
         def defl(c, w):
             vc = lax.dynamic_slice_in_dim(V, c * chunk, chunk, 0)
             hc = lax.dynamic_slice_in_dim(h, c * chunk, chunk, 0)
-            return w - jnp.tensordot(hc, vc, axes=1)
+            return w - jnp.tensordot(hc, vc, axes=1, precision=_PREC)
 
         return h, lax.fori_loop(0, nact, defl, w)
 
@@ -131,7 +151,8 @@ def _gmres_cycle(matvec, precond, b, x0, r0, r0norm, tol_abs, restart):
     shape = b.shape
     m = restart
 
-    V = jnp.zeros((_round_up(m + 1, 4),) + shape, dtype=dtype)
+    V = jnp.zeros((_basis_rows(m + 1, shape, b.dtype.itemsize),) + shape,
+                  dtype=dtype)
     V = V.at[0].set(r0 / jnp.where(r0norm > 0, r0norm, 1.0))
     R = jnp.eye(m, dtype=dtype)
     g = jnp.zeros(m + 1, dtype=dtype).at[0].set(r0norm)
@@ -172,7 +193,7 @@ def _gmres_cycle(matvec, precond, b, x0, r0, r0norm, tol_abs, restart):
     # not least-squares data — mask them so unused basis vectors get y=0
     g_ls = jnp.where(jnp.arange(m) < j, g[:m], 0.0)
     y = jax.scipy.linalg.solve_triangular(R, g_ls, lower=False)
-    dx = jnp.tensordot(y, V[:m], axes=1)
+    dx = jnp.tensordot(y, V[:m], axes=1, precision=_PREC)
     x = x0 + precond(dx)
     return x, res, j
 

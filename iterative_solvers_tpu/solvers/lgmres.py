@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .gmres import _norm, _apply_givens, _cgs2, _round_up
+from .gmres import _norm, _apply_givens, _cgs2, _basis_rows, _PREC
 
 
 class LgmresRecycle(NamedTuple):
@@ -86,7 +86,8 @@ def _lgmres_cycle(matvec, precond, x, r, rnorm, tol_abs, inner_m, rec, store_av)
     mtot = inner_m + outer_k
     steps = inner_m + rec.count  # dynamic trip count <= mtot
 
-    V = jnp.zeros((_round_up(mtot + 1, 4),) + shape, dtype=dtype)
+    V = jnp.zeros((_basis_rows(mtot + 1, shape, r.dtype.itemsize),) + shape,
+                  dtype=dtype)
     V = V.at[0].set(precond(r) / jnp.where(rnorm > 0, rnorm, 1.0))
     Z = jnp.zeros((mtot,) + shape, dtype=dtype)
     R = jnp.eye(mtot, dtype=dtype)
@@ -135,7 +136,7 @@ def _lgmres_cycle(matvec, precond, x, r, rnorm, tol_abs, inner_m, rec, store_av)
     # mask the residual value sitting in g at/beyond the active column count
     g_ls = jnp.where(jnp.arange(mtot) < j, g[:mtot], 0.0)
     y = jax.scipy.linalg.solve_triangular(R, g_ls, lower=False)
-    dx = jnp.tensordot(y, Z, axes=1)
+    dx = jnp.tensordot(y, Z, axes=1, precision=_PREC)
     # A dx in the V basis: V @ (H y) = V @ (Q R y) — reconstruct cheaply for
     # the recycle buffer when store_av is requested.
     adx = matvec(dx) if store_av else jnp.zeros_like(dx)

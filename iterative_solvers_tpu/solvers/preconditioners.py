@@ -47,7 +47,8 @@ def block_jacobi_dense(a_scipy, block: int) -> Callable:
     def apply(v):
         shape = v.shape
         vb = v.reshape(nb, block)
-        return jnp.einsum("nij,nj->ni", inv, vb).reshape(shape)
+        return jnp.einsum("nij,nj->ni", inv, vb,
+                          precision=jax.lax.Precision.HIGHEST).reshape(shape)
 
     return apply
 

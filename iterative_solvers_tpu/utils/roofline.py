@@ -13,6 +13,32 @@ import dataclasses
 HBM_GBPS = {"tpu v5 lite": 819.0, "tpu v5e": 819.0, "tpu v4": 1228.0,
             "cpu": 50.0}
 PEAK_BF16_TFLOPS = {"tpu v5 lite": 197.0, "tpu v5e": 197.0}
+# On-chip vector memory per core.  Decisive for honest rooflines: a kernel
+# whose whole working set fits in VMEM can be served from VMEM across a
+# timing chain (inputs declared memory_space=ANY are placed at the
+# compiler's discretion), sustaining apparent "HBM" bandwidths well above
+# the HBM peak — the r3 artifact's >1.0 SpMV fractions (VERDICT r3 #5).
+# HBM-roofline fractions are only meaningful when the working set is
+# comfortably larger than VMEM; see working_set_exceeds_vmem.
+VMEM_BYTES = {"tpu v5 lite": 128 * 2**20, "tpu v5e": 128 * 2**20,
+              "tpu v4": 128 * 2**20}
+
+
+def device_vmem_bytes() -> int:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in VMEM_BYTES.items():
+        if k in kind:
+            return v
+    return 16 * 2**20
+
+
+def working_set_exceeds_vmem(bytes_total: int, margin: float = 1.5) -> bool:
+    """True when a timing chain over this working set must stream from HBM
+    (set > margin x VMEM) — the precondition for quoting an HBM-roofline
+    fraction."""
+    return bytes_total > margin * device_vmem_bytes()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -37,12 +63,31 @@ def stencil_cost(shape: tuple[int, int], dtype_bytes: int,
 
 def spmv_cost(nnz: int, n_rows: int, n_cols: int, dtype_bytes: int,
               index_bytes: int = 4, fmt: str = "csr") -> KernelCost:
-    """SpMV byte traffic: values + (indices for csr/coo) + x + y."""
+    """Minimal SpMV byte traffic: values + (indices for csr/coo) + x + y.
+    This is the FORMAT-IDEAL lower bound (each value/vector element touched
+    once); see :func:`spmv_kernel_cost` for what the diagonal Pallas kernels
+    actually move."""
     value_bytes = nnz * dtype_bytes
     index_traffic = 0 if fmt == "dia" else nnz * index_bytes
     vec_bytes = (n_cols + n_rows) * dtype_bytes
     return KernelCost(bytes_moved=value_bytes + index_traffic + vec_bytes,
                       flops=2 * nnz)
+
+
+def spmv_kernel_cost(ndiags: int, ny: int, nx: int, dtype_bytes: int,
+                     block_rows: int = 64, halo: int = 8) -> KernelCost:
+    """ACTUAL byte traffic of the diagonal slab-pipeline SpMV kernels
+    (ops.pallas_spmv): the ``ndiags`` stored coefficient fields are read in
+    FULL (including the zeros a Dirichlet operator stores where a shift
+    exits the domain — this is where the nnz-based model undercounts), the
+    x field is read once plus a 2*halo-row overlap per block chunk, and y
+    is written once.  Use this (with an HBM-validated working set,
+    :func:`working_set_exceeds_vmem`) for honest roofline fractions."""
+    n = ny * nx
+    x_bytes = n * dtype_bytes * (block_rows + 2 * halo) // block_rows
+    coef_bytes = ndiags * n * dtype_bytes
+    return KernelCost(bytes_moved=coef_bytes + x_bytes + n * dtype_bytes,
+                      flops=2 * ndiags * n)
 
 
 def device_hbm_gbps() -> float:

@@ -156,6 +156,21 @@ def main():
     check("droplet_jvp_parity", rel_err(got, want) < 2e-5,
           f"{rel_err(got, want):.2e}")
 
+    # -- f32 DCT accuracy on chip (the bf16-pass class) ------------------------
+    # The r3 headline NaN was f32 matmuls lowering to bf16 MXU passes at the
+    # default precision (ops/dct.py now pins HIGHEST).  Gate the on-chip f32
+    # DCT round-trip + solve against the f64 oracle at true-f32 accuracy:
+    # with bf16 passes the error is ~1e-3 and this check fails.
+    from iterative_solvers_tpu.ops.dct import dct2, idct2
+
+    zf = rng.standard_normal((91, 61))
+    z64 = jnp.array(zf)
+    z32 = jnp.array(zf, jnp.float32)
+    w64 = np.asarray(jax.jit(lambda v: idct2(dct2(v) / 3.0))(z64))
+    w32 = np.asarray(jax.jit(lambda v: idct2(dct2(v) / 3.0))(z32))
+    check("dct_f32_accuracy_on_chip", rel_err(w32, w64) < 2e-6,
+          f"{rel_err(w32, w64):.2e}")
+
     # -- mixed-precision convergence gate (91x61 droplet step on chip) --------
     cfg0 = fx.config_for(fixture)
     u0 = jnp.array(fixture.u)
@@ -172,6 +187,29 @@ def main():
           abs(int(o_fd.newton_iters) - int(o_kr.newton_iters)) <= 1)
     du = float(jnp.abs(o_kr.u - o_fd.u).max())
     check("droplet_step_mixed_solution", du < 5e-7, f"max|du|={du:.2e}")
+
+    # -- the PRODUCTION bench config, verbatim (bench.py) ---------------------
+    # r3's lane passed while bench.py NaN'd because the lane ran pma_loops=5
+    # with f64 mesh dtypes.  This gate runs the bench's exact configuration:
+    # f32 mesh_dtype + spectral_dtype, pma_loops=400, a 5-step lax.scan
+    # chain, every step converged and finite.
+    cfg_b = dataclasses.replace(cfg0, spectral_dtype="float32",
+                                mesh_dtype="float32")
+    step_b = dp.make_step(cfg_b, dt=1e-5, dtmesh=3e-9, pma_loops=400,
+                          solver=dp.fast_solver())
+
+    def bench_chain(uu, qq):
+        def body(carry, _):
+            u_, q_ = carry
+            out = step_b(u_, q_, 1e-5)
+            return (out.u, out.q), (out.f_norm, out.converged)
+
+        (uf, qf), (fns, conv) = jax.lax.scan(body, (uu, qq), None, length=5)
+        return jnp.all(conv) & jnp.all(jnp.isfinite(uf)), jnp.max(fns)
+
+    ok, worst = jax.jit(bench_chain)(u0, q0)
+    check("droplet_bench_config_5step_converged", bool(ok),
+          f"worst f_norm {float(worst):.2e}")
 
     print(f"ALL PASS ({len(PASS)} checks, {time.time()-t_start:.0f}s)",
           flush=True)

@@ -33,7 +33,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
                        / "benchmarks"))
 from run_all import marginal_ms, chain_fn  # noqa: E402
 
-from examples.large_scale_droplet import prepare, mesh_dt, DROPS  # noqa: E402
+from examples.large_scale_droplet import prepare, mesh_dt  # noqa: E402
 from iterative_solvers_tpu.models import droplet as dp  # noqa: E402
 from iterative_solvers_tpu.ops import curvilinear  # noqa: E402
 from iterative_solvers_tpu.ops.pallas_droplet import jvp_matvec_pallas  # noqa: E402
