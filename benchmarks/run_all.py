@@ -596,7 +596,8 @@ def bench_spmv():
     emit_dia_kernel_rows("griddia_pallas_dirichlet_4096sq", md4.nnz, ms,
                          len(lgrid4.shifts), nd4, nd4)
 
-    # SpMM: 8 right-hand sides through the GridDIA pipeline
+    # SpMM: 8 right-hand sides.  XLA matmat row (re-reads the coefficient
+    # fields per rhs — kept as the comparison point) ...
     X = jnp.array(
         np.random.default_rng(1).standard_normal((n * n, 8)),
         dtype=jnp.float32,
@@ -605,10 +606,47 @@ def bench_spmv():
         chain_fn(lambda V, d: dia._replace(data=d).matmat(V), X, dia.data),
         25, 200, reps=5)
     emit("spmm_griddia_1024sq_x8_nnz_per_s", nnz * 8 / ms / 1e6, "Gnnz/s")
-    # SpMM roofline: coefficient fields stream ONCE for all 8 rhs
-    spmm_bytes = nnz * 4 + 8 * 2 * n * n * 4
-    emit("spmm_griddia_1024sq_x8_roofline_frac",
-         spmm_bytes / ms / 1e6 / hbm, "x")
+
+    # ... and the fused Pallas SpMM kernel: coefficient chunks stream ONCE
+    # per row block against the whole rhs stack (VERDICT r3 #8)
+    from iterative_solvers_tpu.ops.pallas_spmv import grid_dia_matmat_pallas
+
+    def emit_spmm_rows(name, nnz_row, ms, ndiags, nrhs, ny, nx, bm=32):
+        emit(f"spmm_{name}_nnz_per_s", nnz_row * nrhs / ms / 1e6, "Gnnz/s")
+        bytes_k = (ndiags * ny * nx
+                   + nrhs * ny * nx * (bm + 2 * 8) // bm
+                   + nrhs * ny * nx) * 4
+        ws = (ndiags + 2 * nrhs) * ny * nx * 4
+        if working_set_exceeds_vmem(ws):
+            frac = bytes_k / ms / 1e6 / hbm
+            assert frac <= 1.05, (name, frac)
+            emit(f"spmm_{name}_roofline_frac", frac, "x")
+        else:
+            emit(f"spmm_{name}_gbps_vmem_resident", bytes_k / ms / 1e6,
+                 "GB/s")
+
+    for nn in (1024, 2048):
+        mc = m if nn == n else sh_operator(nn, h, 0.5)
+        diam = GridDIA.from_scipy(mc.astype(np.float32), (nn, nn),
+                                  cyclic=True)
+        X3 = jnp.array(
+            np.random.default_rng(4).standard_normal((8, nn, nn)),
+            dtype=jnp.float32)
+        ref = np.stack([
+            np.asarray(jax.jit(
+                lambda d, v: diam._replace(data=d)._apply(v))(diam.data,
+                                                              X3[r]))
+            for r in range(8)])
+        got = np.asarray(jax.jit(
+            lambda d, v: grid_dia_matmat_pallas(diam._replace(data=d), v))(
+            diam.data, X3))
+        assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
+            "pallas spmm parity"
+        ms = marginal_ms(chain_fn(
+            lambda v, d: grid_dia_matmat_pallas(diam._replace(data=d), v),
+            X3, diam.data), 10, 60, reps=5)
+        emit_spmm_rows(f"griddia_cyclic_pallas_{nn}sq_x8", mc.nnz, ms,
+                       len(diam.shifts), 8, nn, nn)
 
 
 if __name__ == "__main__":

@@ -89,7 +89,9 @@ def main():
     # inner Krylov: fused Pallas JVP matvec (analytic f32 linearisation,
     # ops/pallas_droplet.py) — outer residuals/line search stay f64
     mode = sys.argv[3] if len(sys.argv) > 3 else "kernel"
-    jvp_kw = ({"jvp_dtype": "float32", "jvp_kernel": True}
+    jvp_kw = ({"jvp_dtype": "float32", "jvp_kernel": True,
+               "residual_mode": "df64"} if mode == "dfres" else
+              {"jvp_dtype": "float32", "jvp_kernel": True}
               if mode == "kernel" else
               {"jvp_dtype": "float32"} if mode == "jvp" else {})
     step = dp.make_step(cfg, dt=dt, dtmesh=mesh_dt(n), pma_loops=20,

@@ -153,6 +153,91 @@ def cn_residual(u, u_old, F, dt, geom: MeshGeometry, cfg: DropletConfig):
     return (u - u_old) - dt * (F2 + F) / 2.0
 
 
+def make_cn_residual_df(u_old, F, geom: MeshGeometry, cfg: DropletConfig):
+    """Double-float (two-f32) evaluation of :func:`cn_residual` — the TPU
+    fast path for the f64 outer residual (VERDICT r4 item 4).
+
+    The f64 emulation costs ~10x f32 elementwise; the compensated two-f32
+    chain (ops.df64) reaches the same ~2^-48 working accuracy at a measured
+    ~2x less (tools/df64_experiment.py).  All geometry-derived coefficient
+    pairs are precomputed ONCE from the f64 geometry (they are frozen across
+    the Newton iteration's ~14 residual evals per step); per evaluation only
+    the state is split.
+
+    Returns ``res(x_f64, dt) -> f64 residual`` matching
+    ``cn_residual(x, u_old, F, dt, geom, cfg)`` to ~1e-13 relative.
+    """
+    from ..ops import df64 as df
+
+    grid = cfg.grid
+    j = geom.jac
+    a11 = df.from64((geom.xy * geom.xy + geom.yy * geom.yy) / j)
+    a22 = df.from64((geom.xy * geom.xy + geom.xx * geom.xx) / j)
+    a12 = df.from64(-(geom.xy * (geom.xx + geom.yy)) / j)
+    inv_j = df.from64(1.0 / j)
+    qxx = df.from64(geom.xx)
+    qyy = df.from64(geom.yy)
+    qxy = df.from64(geom.xy)
+    u_old_p = df.from64(u_old)
+    F_p = df.from64(F)
+    n, m, eps = cfg.n_exp, cfg.m_exp, cfg.epsilon
+    K = (n - 1) * (m - 1) / (2.0 * eps * (n - m))
+    bo_c = float(cfg.Bo * np.cos(cfg.incline))
+    drive = float(cfg.Bo * np.sin(cfg.incline) / cfg.epsilon2)
+    dx, dy = grid.dx, grid.dy
+
+    def ipow(x, k: int):
+        acc = x
+        for _ in range(k - 1):
+            acc = df.mul(acc, x)
+        return acc
+
+    def res(x, dt):
+        u = df.from64(x)
+        u_ksi = df.d1_x_df(u, dx)
+        u_eta = df.d1_y_df(u, dy)
+
+        # curvilinear laplacian (ops.curvilinear.laplace)
+        fx = df.flux_div_x_df(a11, u, 1.0 / (dx * dx))
+        fy = df.tT(df.flux_div_x_df(df.tT(a22), df.tT(u), 1.0 / (dy * dy)))
+        tx = df.d1_x_df(df.mul(a12, u_eta), dx)
+        tx = df.set_col(df.set_col(tx, 0), -1)
+        ty = df.d1_y_df(df.mul(a12, u_ksi), dy)
+        ty = df.set_row(df.set_row(ty, 0), -1)
+        u_xx = df.mul(df.add(fx, tx), inv_j)
+        u_yy = df.mul(df.add(fy, ty), inv_j)
+
+        # pressure with the disjoining term (PI)
+        r = df.scale(df.recip(u), eps)
+        pi = df.scale(df.sub(ipow(r, m), ipow(r, n)), K)
+        p = df.add(df.neg(df.add(u_xx, u_yy)),
+                   df.add(pi, df.scale(u, bo_c)))
+
+        # dp/dn = 0 gradient (pressure_grad_xy)
+        p_ksi = df.set_col(df.set_col(df.d1_x_df(p, dx), 0), -1)
+        p_eta = df.set_row(df.set_row(df.d1_y_df(p, dy), 0), -1)
+        p_dx = df.mul(df.sub(df.mul(qyy, p_ksi), df.mul(qxy, p_eta)), inv_j)
+        p_dy = df.mul(df.sub(df.mul(qxx, p_eta), df.mul(qxy, p_ksi)), inv_j)
+
+        # conservative flux divergence (_flux_divergence)
+        h3 = df.scale(ipow(u, 3), 1.0 / 3.0)
+        A = df.mul(df.add_f(p_dx, np.float32(-drive)), h3)
+        B = df.mul(p_dy, h3)
+        f2 = df.mul(
+            df.add(df.sub(df.mul(qyy, df.d1_x_df(A, dx)),
+                          df.mul(qxy, df.d1_y_df(A, dy))),
+                   df.sub(df.mul(qxx, df.d1_y_df(B, dy)),
+                          df.mul(qxy, df.d1_x_df(B, dx)))),
+            inv_j)
+
+        dtp = df.from64(jnp.asarray(dt, jnp.float64))
+        r_out = df.sub(df.sub(u, u_old_p),
+                       df.mul_pow2(df.mul(df.add(f2, F_p), dtp), 0.5))
+        return df.to64(r_out)
+
+    return res
+
+
 def jvp_field_stack(x, geom: MeshGeometry, cfg: DropletConfig, dt):
     """Coefficient fields of the linearised CN residual at the Newton
     iterate ``x`` — the per-iteration precompute feeding the fused Pallas
@@ -306,7 +391,8 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
               solver: NewtonKrylov | None = None,
               deviation_form: bool = False,
               jvp_dtype: str | None = None,
-              jvp_kernel: bool = False):
+              jvp_kernel: bool = False,
+              residual_mode: str = "f64"):
     """One evolve_with_PDE step (droplet.py:370-384): CN/JFNK solve of the
     physical PDE on the frozen mesh, then ``pma_loops`` explicit PMA
     sub-steps.
@@ -331,6 +417,13 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
     curvilinear chain runs from one pass over v + the 8 coefficient fields
     of :func:`jvp_field_stack`.  Off-TPU it falls back to the jnp mirror —
     the same linear operator either way, so convergence is unchanged.
+
+    ``residual_mode="df64"`` evaluates the outer residuals (Newton
+    convergence checks, line search, E-W forcing) with compensated two-f32
+    arithmetic (:func:`make_cn_residual_df`) instead of emulated f64 —
+    same ~1e-13 relative accuracy at roughly half the TPU cost.  The state
+    stays f64; pair with ``jvp_dtype``/``jvp_kernel`` (the FD-differencing
+    path would difference the df64 rounding floor).
     """
     if solver is None:
         # reference: newton_krylov(..., maxiter=20, f_tol=1e-7)
@@ -368,9 +461,13 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
 
             slv = dataclasses.replace(solver, matvec_factory=factory,
                                       inner_dtype=str(jd))
-        res = slv.solve(
-            partial(cn_residual, u_old=u, F=F, dt=dt_n, geom=geom, cfg=cfg), u
-        )
+        if residual_mode == "df64":
+            rdf = make_cn_residual_df(u, F, geom, cfg)
+            res_fn = lambda x: rdf(x, dt_n)  # noqa: E731
+        else:
+            res_fn = partial(cn_residual, u_old=u, F=F, dt=dt_n, geom=geom,
+                             cfg=cfg)
+        res = slv.solve(res_fn, u)
         # reference ordering: loop_pma's monitor is driven by the *old*
         # solution — U.val is only replaced at the top of the next step
         # (droplet.py:373,384; compute_u_spatial_ders reads U.val)

@@ -174,15 +174,19 @@ def _lane_flux(a, y, inv_h2, nx, roll):
     return out
 
 
-def _row_d1(y, yb, b, L, gi, tb, te, s, ny):
+def _row_d1(y, yb, b, L, gi, tb, te, s, ny, row_edges=True):
     """4th-order d1 along rows on window [b, b+L) (slab coords) of array
     ``y`` spanning slab rows [yb, ...).  ``gi`` is the (L, 1) global-row
     iota of the window; ``tb``/``te`` the y-array rows anchoring global row
     0 / one-past-last (valid in the first/last chunk, where the edge selects
-    fire)."""
+    fire).  ``row_edges=False`` (interior chunks, where no global edge row
+    can appear in the window) skips the one-sided formulas and selects —
+    the chunk-specialised fast path."""
     o = b - yb
     out = (y[o - 2:o - 2 + L] - 8.0 * y[o - 1:o - 1 + L]
            + 8.0 * y[o + 1:o + 1 + L] - y[o + 2:o + 2 + L]) * s
+    if not row_edges:
+        return out
     R = lambda j: y[j:j + 1]
     e0 = (-25.0 * R(tb) + 48.0 * R(tb + 1) - 36.0 * R(tb + 2)
           + 16.0 * R(tb + 3) - 3.0 * R(tb + 4)) * s
@@ -239,6 +243,24 @@ def _row_flux(a, ab, y, yb, b, L, gi, inv_h2, ny):
     return interior, r1, r2, ta, tv
 
 
+def _row_flux_interior(a, ab, y, yb, b, L, inv_h2):
+    """Interior-chunk form of :func:`_row_flux_full`: the conservative
+    4th-order stencil only — no ring formulas, no selects (valid whenever
+    the window contains no global rows 0..2 or ny-3..ny-1)."""
+    oa = b - ab
+    ov = b - yb
+    A = lambda k: a[oa + k:oa + k + L]
+    V = lambda k: y[ov + k:ov + k + L]
+    return (
+        4.0 * A(-1) * (V(-3) - 8.0 * V(-2) + 8.0 * V(0) - V(1))
+        - (-A(-2) + 9.0 * A(-1) + 9.0 * A(0) - A(1))
+        * (V(-2) - 27.0 * V(-1) + 27.0 * V(0) - V(1))
+        + (-A(-1) + 9.0 * A(0) + 9.0 * A(1) - A(2))
+        * (V(-1) - 27.0 * V(0) + 27.0 * V(1) - V(2))
+        - 4.0 * A(1) * (V(-1) - 8.0 * V(0) + 8.0 * V(2) - V(3))
+    ) * (inv_h2 / 288.0)
+
+
 def _row_flux_full(a, ab, y, yb, b, L, gi, inv_h2, ny, bm):
     interior, r1, r2, ta, tv = _row_flux(a, ab, y, yb, b, L, gi, inv_h2, ny)
     ea, ev = ta + bm, tv + bm  # array rows one past global row ny-1 (last chunk)
@@ -268,7 +290,7 @@ def _row_flux_full(a, ab, y, yb, b, L, gi, inv_h2, ny, bm):
     return out
 
 
-def _chain_block(vsl, csl, idx, bm, ny, nx, dx, dy, roll):
+def _chain_block(vsl, csl, idx, bm, ny, nx, dx, dy, roll, row_edges=True):
     """The full linearised droplet chain for one row chunk.
 
     ``vsl``: (bm + 2*_HALO, nx) slab of v (8-row halo, clamped at edges);
@@ -277,6 +299,13 @@ def _chain_block(vsl, csl, idx, bm, ny, nx, dx, dy, roll):
     ``roll(x, k)[r, c] = x[r, c + k]`` (cyclic) — pltpu.roll in-kernel,
     jnp.roll in the CPU unit tests.  Returns the (bm, nx) output block of
     ``v - dF2`` (dt/2 pre-folded into c1..c3).
+
+    ``row_edges=False`` is the interior-chunk specialisation: with the
+    window guaranteed to contain no global top/bottom edge rows (bm >= 2
+    chunks away, window overhang <= 6 < bm), every row-direction one-sided
+    formula and its select is dropped — only the column (left/right edge)
+    selects remain, which every chunk needs.  The kernel dispatches on the
+    chunk index (first/last chunk take the full path).
     """
     H = _HALO
     sdx = 1.0 / (12.0 * dx)
@@ -305,7 +334,7 @@ def _chain_block(vsl, csl, idx, bm, ny, nx, dx, dy, roll):
 
     # -- curvilinear laplacian of v on the dp window -------------------------
     vk6 = _lane_d1(vsl[b_w6:b_w6 + L_w6], sdx, nx, roll)       # v_ksi on W6
-    ve = _row_d1(vsl, 0, b_dp, L_dp, gi_dp, H, H + bm, sdy, ny)  # v_eta on Wdp
+    ve = _row_d1(vsl, 0, b_dp, L_dp, gi_dp, H, H + bm, sdy, ny, row_edges)
     fx = _lane_flux(a11[b_dp:b_dp + L_dp], vsl[b_dp:b_dp + L_dp],
                     inv_dx2, nx, roll)
     tx = _lane_d1(a12[b_dp:b_dp + L_dp] * ve, sdx, nx, roll)
@@ -313,10 +342,15 @@ def _chain_block(vsl, csl, idx, bm, ny, nx, dx, dy, roll):
     tx = jnp.where((colw == 0) | (colw == nx - 1), 0.0, tx)
     v_xx = (fx + tx) * inv_j[b_dp:b_dp + L_dp]
 
-    fy = _row_flux_full(a22, 0, vsl, 0, b_dp, L_dp, gi_dp, inv_dy2, ny, bm)
+    if row_edges:
+        fy = _row_flux_full(a22, 0, vsl, 0, b_dp, L_dp, gi_dp, inv_dy2,
+                            ny, bm)
+    else:
+        fy = _row_flux_interior(a22, 0, vsl, 0, b_dp, L_dp, inv_dy2)
     ty = _row_d1(a12[b_w6:b_w6 + L_w6] * vk6, b_w6, b_dp, L_dp, gi_dp,
-                 H - b_w6, H - b_w6 + bm, sdy, ny)
-    ty = jnp.where((gi_dp == 0) | (gi_dp == ny - 1), 0.0, ty)
+                 H - b_w6, H - b_w6 + bm, sdy, ny, row_edges)
+    if row_edges:
+        ty = jnp.where((gi_dp == 0) | (gi_dp == ny - 1), 0.0, ty)
     v_yy = (fy + ty) * inv_j[b_dp:b_dp + L_dp]
 
     dp = -(v_xx + v_yy) + c0[b_dp:b_dp + L_dp] * vsl[b_dp:b_dp + L_dp]
@@ -326,8 +360,9 @@ def _chain_block(vsl, csl, idx, bm, ny, nx, dx, dy, roll):
     colw2 = lax.broadcasted_iota(jnp.int32, (L_w2, nx), 1)
     dpk = jnp.where((colw2 == 0) | (colw2 == nx - 1), 0.0, dpk)
     dpe = _row_d1(dp, b_dp, b_w2, L_w2, gi_w2, H - b_dp, H - b_dp + bm,
-                  sdy, ny)
-    dpe = jnp.where((gi_w2 == 0) | (gi_w2 == ny - 1), 0.0, dpe)
+                  sdy, ny, row_edges)
+    if row_edges:
+        dpe = jnp.where((gi_w2 == 0) | (gi_w2 == ny - 1), 0.0, dpe)
     g = lambda f: f[b_w2:b_w2 + L_w2]
     dpx = (g(yyg) * dpk - g(xyg) * dpe) * g(inv_j)
     dpy = (-g(xyg) * dpk + g(xxg) * dpe) * g(inv_j)
@@ -337,8 +372,10 @@ def _chain_block(vsl, csl, idx, bm, ny, nx, dx, dy, roll):
     # -- flux divergence on the output block ----------------------------------
     dak = _lane_d1(dA[2:2 + bm], sdx, nx, roll)
     dbk = _lane_d1(dB[2:2 + bm], sdx, nx, roll)
-    dae = _row_d1(dA, b_w2, H, bm, gi_w0, H - b_w2, H - b_w2 + bm, sdy, ny)
-    dbe = _row_d1(dB, b_w2, H, bm, gi_w0, H - b_w2, H - b_w2 + bm, sdy, ny)
+    dae = _row_d1(dA, b_w2, H, bm, gi_w0, H - b_w2, H - b_w2 + bm, sdy, ny,
+                  row_edges)
+    dbe = _row_d1(dB, b_w2, H, bm, gi_w0, H - b_w2, H - b_w2 + bm, sdy, ny,
+                  row_edges)
     h = lambda f: f[H:H + bm]
     dF2 = (h(yyg) * dak - h(xyg) * dae - h(xyg) * dbk + h(xxg) * dbe) \
         * h(inv_j)
@@ -457,8 +494,23 @@ def jvp_matvec_pallas(v2, stack, grid: Grid2D, block_rows: int = 64):
             def _():
                 out_copy(slot, idx - jnp.int32(2)).wait()
 
-            outs[slot] = _chain_block(vs[slot], cs[slot], idx, bm, ny, nx,
-                                      dx, dy, _pallas_roll)
+            # chunk specialisation: only the first/last chunks can contain
+            # global top/bottom edge rows — interior chunks run the body
+            # with every row-direction one-sided formula and select removed
+            is_edge = (idx == 0) | (idx == jnp.int32(nchunks - 1))
+
+            @pl.when(is_edge)
+            def _():
+                outs[slot] = _chain_block(vs[slot], cs[slot], idx, bm, ny,
+                                          nx, dx, dy, _pallas_roll,
+                                          row_edges=True)
+
+            @pl.when(jnp.logical_not(is_edge))
+            def _():
+                outs[slot] = _chain_block(vs[slot], cs[slot], idx, bm, ny,
+                                          nx, dx, dy, _pallas_roll,
+                                          row_edges=False)
+
             out_copy(slot, idx).start()
             return jnp.int32(0)
 
@@ -509,14 +561,16 @@ def chain_block_reference_sim(v2, stack, grid: Grid2D, block_rows: int = 16):
     H = _HALO
     roll = lambda x, k: jnp.roll(x, -k, axis=1)
     outs = []
-    for idx in range(ny // bm):
+    nchunks = ny // bm
+    for idx in range(nchunks):
         start = idx * bm
         top = 0 if idx == 0 else start - H
-        bot = ny - H if idx == ny // bm - 1 else start + bm
+        bot = ny - H if idx == nchunks - 1 else start + bm
         vsl = jnp.concatenate([v2[top:top + H], v2[start:start + bm],
                                v2[bot:bot + H]], axis=0)
         csl = jnp.concatenate([stack[:, top:top + H], stack[:, start:start + bm],
                                stack[:, bot:bot + H]], axis=1)
         outs.append(_chain_block(vsl, csl, jnp.int32(idx), bm, ny, nx,
-                                 grid.dx, grid.dy, roll))
+                                 grid.dx, grid.dy, roll,
+                                 row_edges=(idx in (0, nchunks - 1))))
     return jnp.concatenate(outs, axis=0)

@@ -182,6 +182,156 @@ def grid_dia_matvec_pallas(a: GridDIA, x2, block_rows: int = 64):
                           wrap_rows=a.cyclic)(x2, a.data)
 
 
+def _spmm_pipeline(ny, nx, bm, ndiags, nrhs, compute, wrap_rows=False):
+    """SpMM variant of :func:`_spmv_pipeline`: stream the coefficient chunks
+    ONCE per row block against an ``(nrhs, ny, nx)`` right-hand-side stack.
+    This is the whole point of a fused SpMM — the r3 artifact's XLA matmat
+    re-read the 13 coefficient fields per rhs (9.5% roofline); here the
+    per-call traffic is ``ndiags + 2 nrhs (+halos)`` fields instead of
+    ``nrhs (ndiags + 2)``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchunks = ny // bm
+
+    def kernel(x_hbm, d_hbm, out_hbm, xs, ds, outs, x_sems, d_sems, out_sems):
+        def x_copies(slot, idx):
+            start = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+            mid = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(start, bm), :],
+                xs.at[slot, :, pl.ds(_HALO, bm), :],
+                x_sems.at[slot, jnp.int32(0)],
+            )
+            top_src = pl.multiple_of(
+                jnp.where(idx == 0,
+                          jnp.int32(ny - _HALO if wrap_rows else 0),
+                          start - jnp.int32(_HALO)),
+                _HALO)
+            top = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(top_src, _HALO), :],
+                xs.at[slot, :, pl.ds(0, _HALO), :],
+                x_sems.at[slot, jnp.int32(1)],
+            )
+            bot_src = pl.multiple_of(
+                jnp.where(idx == nchunks - 1,
+                          jnp.int32(0 if wrap_rows else ny - _HALO),
+                          start + jnp.int32(bm)), _HALO)
+            bot = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(bot_src, _HALO), :],
+                xs.at[slot, :, pl.ds(_HALO + bm, _HALO), :],
+                x_sems.at[slot, jnp.int32(2)],
+            )
+            return (mid, top, bot)
+
+        def d_copy(slot, idx):
+            start = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+            return pltpu.make_async_copy(
+                d_hbm.at[:, pl.ds(start, bm), :],
+                ds.at[slot],
+                d_sems.at[slot],
+            )
+
+        def out_copy(slot, idx):
+            dst = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+            return pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[:, pl.ds(dst, bm), :],
+                out_sems.at[slot],
+            )
+
+        for c in x_copies(jnp.int32(0), jnp.int32(0)):
+            c.start()
+        d_copy(jnp.int32(0), jnp.int32(0)).start()
+
+        def body(idx, _):
+            slot = lax.rem(idx, jnp.int32(2))
+            nslot = lax.rem(idx + jnp.int32(1), jnp.int32(2))
+
+            @pl.when(idx + 1 < nchunks)
+            def _():
+                for c in x_copies(nslot, idx + jnp.int32(1)):
+                    c.start()
+                d_copy(nslot, idx + jnp.int32(1)).start()
+
+            for c in x_copies(slot, idx):
+                c.wait()
+            d_copy(slot, idx).wait()
+
+            @pl.when(idx >= 2)
+            def _():
+                out_copy(slot, idx - jnp.int32(2)).wait()
+
+            outs[slot] = compute(xs[slot], ds[slot])
+            out_copy(slot, idx).start()
+            return jnp.int32(0)
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), body, jnp.int32(0))
+
+        @pl.when(jnp.int32(nchunks) >= 2)
+        def _():
+            out_copy(jnp.int32(nchunks % 2), jnp.int32(nchunks - 2)).wait()
+        out_copy(jnp.int32((nchunks - 1) % 2), jnp.int32(nchunks - 1)).wait()
+
+    itemsize = 4
+    scratch_bytes = ((2 * nrhs * (bm + 2 * _HALO) + 2 * ndiags * bm
+                      + 2 * nrhs * bm) * nx * itemsize)
+    vmem_limit = int(1.6 * scratch_bytes) + 16 * 1024 * 1024
+
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nrhs, ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, nrhs, bm + 2 * _HALO, nx), jnp.float32),
+            pltpu.VMEM((2, ndiags, bm, nx), jnp.float32),
+            pltpu.VMEM((2, nrhs, bm, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit,
+        ),
+    )
+
+
+def grid_dia_matmat_pallas(a: GridDIA, x3, block_rows: int = 32):
+    """``Y[r] = A @ X[r]`` for an ``(nrhs, ny, nx)`` rhs stack on the 2-D
+    grid view; falls back to the XLA per-rhs pipeline off-TPU or when
+    ineligible.  One cyclic lane roll of the whole (nrhs, S, nx) slab per
+    distinct dx serves every rhs and every term sharing that dx."""
+    ny, nx = a.grid
+    nrhs = x3.shape[0]
+    max_dy = max((abs(dy) for dy, _ in a.shifts), default=0)
+    if (not _on_tpu() or x3.dtype != jnp.float32
+            or a.data.dtype != jnp.float32
+            or ny % block_rows or ny < 2 * block_rows or max_dy > _HALO):
+        return jnp.stack([a._apply(x3[r]) for r in range(nrhs)])
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm = block_rows
+    shifts = a.shifts
+
+    def compute(slab, dchunk):
+        rolled = {0: slab}
+        for _, dx in shifts:
+            s = (-dx) % nx
+            if s and s not in rolled:
+                rolled[s] = pltpu.roll(slab, shift=jnp.int32(s), axis=2)
+        acc = jnp.zeros((nrhs, bm, nx), jnp.float32)
+        for k, (dy, dx) in enumerate(shifts):
+            rows = rolled[(-dx) % nx][:, _HALO + dy:_HALO + dy + bm, :]
+            acc = acc + dchunk[k][None] * rows
+        return acc
+
+    return _spmm_pipeline(ny, nx, bm, len(shifts), nrhs, compute,
+                          wrap_rows=a.cyclic)(x3, a.data)
+
+
 def dia_flat_matvec_pallas(a: DIA, grid: tuple[int, int], x,
                            block_rows: int = 64):
     """``y = A @ x`` for a row-aligned flat DIA matrix viewed on a

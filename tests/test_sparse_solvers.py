@@ -245,3 +245,20 @@ def test_pallas_spmv_fallbacks_match_scipy():
     d = DIA.from_scipy(md)
     got = np.asarray(dia_flat_matvec_pallas(d, (n, n), jnp.array(x)))
     np.testing.assert_allclose(got, md @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_spmm_fallback_matches_scipy():
+    """Off-TPU the SpMM wrapper falls back to per-rhs XLA application; gate
+    the (nrhs, ny, nx) stacking against scipy on both container kinds."""
+    from iterative_solvers_tpu.ops.sparse import GridDIA
+    from iterative_solvers_tpu.ops.pallas_spmv import grid_dia_matmat_pallas
+
+    n = 24
+    m = sh_operator(n, 0.7, 0.01)
+    X = RNG.standard_normal((3, n * n))
+    for cyclic in (True, False):
+        a = GridDIA.from_scipy(m, (n, n), cyclic=cyclic)
+        got = np.asarray(grid_dia_matmat_pallas(
+            a, jnp.array(X.reshape(3, n, n))))
+        want = (m @ X.T).T.reshape(3, n, n)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)

@@ -101,6 +101,20 @@ def main():
     check("spmv_cyclic_parity", rel_err(got, want) < 1e-5,
           f"{rel_err(got, want):.2e}")
 
+    # SpMM: coefficient fields stream once against the 8-rhs stack
+    from iterative_solvers_tpu.ops.pallas_spmv import grid_dia_matmat_pallas
+
+    x3 = jnp.array(rng.standard_normal((8, n, n)), jnp.float32)
+    assert_kernel_in_hlo("spmm_cyclic",
+                         lambda d, v: grid_dia_matmat_pallas(
+                             diac._replace(data=d), v), diac.data, x3)
+    got = jax.jit(lambda d, v: grid_dia_matmat_pallas(
+        diac._replace(data=d), v))(diac.data, x3)
+    want = jnp.stack([jax.jit(lambda d, v: diac._replace(data=d)._apply(v))(
+        diac.data, x3[r]) for r in range(8)])
+    check("spmm_cyclic_parity", rel_err(got, want) < 1e-5,
+          f"{rel_err(got, want):.2e}")
+
     mb = (biharmonic_dirichlet(n + 1, 2.0) * 0.2).astype(np.float32)
     bgrid = GridDIA.from_scipy(mb, (n, n))
     xb = jnp.array(rng.standard_normal(n * n), jnp.float32)
