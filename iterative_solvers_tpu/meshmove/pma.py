@@ -47,6 +47,11 @@ class PMAParams:
     # dominate at large grids, while the mesh velocity tolerates ~1e-6
     # relative noise (it is integrated with tiny explicit dtmesh steps).
     # None keeps the state dtype (parity mode).
+    spectral_precision: str = "highest"
+    # MXU precision of the DCT matmuls: "highest" (full f32, 6 bf16
+    # passes) or "high" (3 passes, ~5e-7 relative — inside the mesh
+    # velocity's ~1e-6 noise budget, half the MXU cost at large grids).
+    # "default" (bf16, ~1e-3) is the r3 on-chip NaN class and is rejected.
     mesh_dtype: str | None = None
     # e.g. "float32": run the ENTIRE PMA sub-iteration (geometry, monitor
     # smoothing, spectral solve, Euler update) in reduced precision —
@@ -79,7 +84,12 @@ def solve_pma(mon, jac, grid: Grid2D, params: PMAParams):
     if params.spectral_dtype is not None:
         q_rhs = q_rhs.astype(params.spectral_dtype)
     leig = jnp.asarray(pma_leig(grid), dtype=q_rhs.dtype)
-    dqdt = idct2(dct2(q_rhs) / (1.0 - params.gamma * leig))
+    assert params.spectral_precision in ("highest", "high"), \
+        "bf16-pass spectral matmuls NaN the mesh on chip (r3 root cause)"
+    prec = (lax.Precision.HIGHEST if params.spectral_precision == "highest"
+            else lax.Precision.HIGH)
+    dqdt = idct2(dct2(q_rhs, precision=prec) / (1.0 - params.gamma * leig),
+                 precision=prec)
     return dqdt.astype(out_dtype)
 
 

@@ -58,6 +58,7 @@ class DropletConfig:
     smoothing_iters: int = 4
     spectral_dtype: str | None = None   # "float32" = fast PMA transforms
     mesh_dtype: str | None = None       # "float32" = whole PMA loop in f32
+    spectral_precision: str = "highest"  # DCT MXU passes; "high" at large n
 
     @property
     def grid(self) -> Grid2D:
@@ -70,7 +71,8 @@ class DropletConfig:
                          mackenzie_c=self.mackenzie_c,
                          smoothing_iters=self.smoothing_iters,
                          spectral_dtype=self.spectral_dtype,
-                         mesh_dtype=self.mesh_dtype)
+                         mesh_dtype=self.mesh_dtype,
+                         spectral_precision=self.spectral_precision)
 
     @property
     def epsilon2(self) -> float:

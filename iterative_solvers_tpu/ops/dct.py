@@ -41,20 +41,27 @@ def _dct2_basis(n: int, dtype_str: str) -> np.ndarray:
     return c.astype(dtype_str)
 
 
-def dct2(u):
-    """Orthonormal DCT-II along both axes of a 2-D field."""
+def dct2(u, precision=None):
+    """Orthonormal DCT-II along both axes of a 2-D field.
+
+    ``precision=None`` uses HIGHEST (full f32: 6 bf16 passes).  Callers
+    whose accuracy budget tolerates ~5e-7 relative (e.g. the PMA mesh
+    velocity, tolerance ~1e-6) may pass ``lax.Precision.HIGH`` (3 passes)
+    to halve the MXU cost at large grids; never DEFAULT (bf16, ~1e-3 —
+    the r3 NaN class).
+    """
+    p = _PRECISION if precision is None else precision
     cy = jnp.asarray(_dct2_basis(u.shape[0], str(u.dtype)))
     cx = jnp.asarray(_dct2_basis(u.shape[1], str(u.dtype)))
-    return jnp.matmul(jnp.matmul(cy, u, precision=_PRECISION), cx.T,
-                      precision=_PRECISION)
+    return jnp.matmul(jnp.matmul(cy, u, precision=p), cx.T, precision=p)
 
 
-def idct2(u):
+def idct2(u, precision=None):
     """Inverse (orthonormal DCT-III) along both axes."""
+    p = _PRECISION if precision is None else precision
     cy = jnp.asarray(_dct2_basis(u.shape[0], str(u.dtype)))
     cx = jnp.asarray(_dct2_basis(u.shape[1], str(u.dtype)))
-    return jnp.matmul(jnp.matmul(cy.T, u, precision=_PRECISION), cx,
-                      precision=_PRECISION)
+    return jnp.matmul(jnp.matmul(cy.T, u, precision=p), cx, precision=p)
 
 
 def dct1d(u, axis: int = -1):
