@@ -390,13 +390,18 @@ def _pallas_roll(x, k):
     return pltpu.roll(x, shift=jnp.int32((-k) % x.shape[1]), axis=1)
 
 
-def jvp_matvec_pallas(v2, stack, grid: Grid2D, block_rows: int = 64):
+def jvp_matvec_pallas(v2, stack, grid: Grid2D, block_rows: int = 32):
     """``v - dF2[v]`` on the (ny, nx) grid; falls back to the jnp mirror
     off-TPU, for non-f32 dtypes, or for kernel-unfriendly shapes.
 
-    block_rows=64 measured fastest at 4096² (tools/tune_droplet_jvp.py:
-    4.23/3.11/2.44/2.15 ms at bm=8/16/32/64 — VMEM on v5e comfortably holds
-    the 9-field double-buffered slabs at 64)."""
+    block_rows=32 measured fastest at 4096² with the chunk-specialised
+    body (tools/tune_droplet_jvp.py r4: 3.39/2.53/2.13/3.51 ms at
+    bm=8/16/32/64 — the two compiled chunk bodies double the code's VMEM
+    temporaries, so bm=64 now spills where the r3 single-body kernel ran
+    2.15 ms).  The kernel is VPU-compute-bound: ~250 arithmetic + ~200
+    permute/slice element-ops per point (tools/jvp_kernel_ops.py) put its
+    compute floor at ~1.1-1.9 ms at 4096² — the 0.38 min-bytes fraction is
+    a memory-model number that compute, not HBM, prevents reaching."""
     ny, nx = v2.shape
     bm = block_rows
     if (not _on_tpu() or v2.dtype != jnp.float32
