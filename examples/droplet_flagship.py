@@ -85,7 +85,14 @@ def main():
             "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"))
         cfg = dataclasses.replace(base, nx=n, ny=n,
                                   spectral_dtype="float32",
-                                  mesh_dtype="float32")
+                                  mesh_dtype="float32",
+                                  # ~5e-7 relative (3 MXU passes) sits inside
+                                  # the mesh velocity's ~1e-6 noise budget at
+                                  # half the cost of HIGHEST; the inflation
+                                  # min-J assert + per-step min-spacing rows
+                                  # gate mesh health
+                                  spectral_precision=("high" if n >= 2048
+                                                      else "highest"))
         tag = f"{n}sq"
         step_kw = {"jvp_dtype": "float32", "jvp_kernel": True,
                    "deviation_form": True}
@@ -128,9 +135,28 @@ def main():
     print(f"[{tag}] compiling + running inflation ({vsteps} vsteps)...",
           flush=True)
     t0 = time.time()
-    q, u = dp.inflate(cfg, DROPS, vsteps=vsteps, dtmesh=dtmesh_inf,
-                      pma_loops=20, q0=q0,
-                      geometry_fn=geometry_fn)
+    if n >= 2048:
+        # chunked ramp: a single 4096² 1000-vstep dispatch runs ~10 min on
+        # device and the remote-dispatch tunnel drops it (observed worker
+        # crash); 50-vstep chunks keep each call ~30 s
+        inf_chunk = 50
+        assert vsteps % inf_chunk == 0
+        q = q0
+        u = jnp.full(grid.shape, cfg.epsilon, jnp.float64)
+        jin = jax.jit(lambda q_, u_, s: dp.inflate(
+            cfg, DROPS, vsteps=vsteps, dtmesh=dtmesh_inf, pma_loops=20,
+            q0=q_, geometry_fn=geometry_fn, start=s, count=inf_chunk,
+            u_prev=u_))
+        for s0 in range(0, vsteps, inf_chunk):
+            q, u = jin(q, u, jnp.int32(s0))
+            float(jnp.sum(q))  # host sync per chunk
+            if (s0 // inf_chunk) % 5 == 4:
+                print(f"  inflation vstep {s0 + inf_chunk}/{vsteps}",
+                      flush=True)
+    else:
+        q, u = dp.inflate(cfg, DROPS, vsteps=vsteps, dtmesh=dtmesh_inf,
+                          pma_loops=20, q0=q0,
+                          geometry_fn=geometry_fn)
     geom = geometry_fn(q, grid)
     jnp.asarray(geom.jac).block_until_ready()
     t_inflate = time.time() - t0
@@ -192,7 +218,7 @@ def main():
     # chunked dispatches: one compiled 'chunk' graph reused; a single
     # 1000-step dispatch is a ~minute-long remote call that the tunnel's
     # worker can drop mid-flight (observed), and chunking costs ~30 ms/chunk
-    chunk = min(steps, 100 if n == 0 else 25)
+    chunk = min(steps, 100 if n == 0 else (25 if n <= 1024 else 10))
     assert steps % chunk == 0
     jf = jax.jit(lambda c: lax.scan(body, c, None, length=chunk))
 

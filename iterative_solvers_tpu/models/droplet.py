@@ -339,19 +339,28 @@ def initial_mesh_potential(cfg: DropletConfig, dtype=jnp.float64):
 
 def inflate(cfg: DropletConfig, drops, vsteps: int, dtmesh: float,
             pma_loops: int, q0=None, dtype=jnp.float64,
-            geometry_fn=None):
+            geometry_fn=None, start: int = 0, count: int | None = None,
+            u_prev=None):
     """Quasi-static inflation (initialise_coalescing_droplets,
     droplet.py:152-183): ramp the drop volumes over ``vsteps`` while
     sub-iterating the PMA mesh; one fused jit for the whole ramp.
 
     ``geometry_fn=curvilinear.mesh_geometry_dev`` interprets the state as
     the deviation potential (large-grid f32-robust form); ``q0`` must then
-    be the deviation (zeros for an identity mesh)."""
+    be the deviation (zeros for an identity mesh).
+
+    ``start``/``count``/``u_prev`` resume the ramp mid-way: run volume
+    steps [start, start+count) from the given carry.  Large-grid drivers
+    chunk the ramp into several dispatches — a single 4096² ramp is a
+    ~10-minute device call, which the remote-dispatch tunnel drops
+    (observed: TPU worker crash mid-inflation)."""
     grid = cfg.grid
     if geometry_fn is None:
         geometry_fn = curvilinear.mesh_geometry
     if q0 is None:
         q0 = initial_mesh_potential(cfg, dtype)
+    if count is None:
+        count = vsteps - start
     drops = np.asarray(drops, dtype=np.float64)  # (ndrops, 4): x, y, R, Vf
     mon_src = lambda u, geom, g: monitor_source(u, geom, g)
 
@@ -375,9 +384,9 @@ def inflate(cfg: DropletConfig, drops, vsteps: int, dtmesh: float,
                          geometry_fn)
         return (q_new, u_new)
 
-    q, u = lax.fori_loop(
-        0, vsteps, body, (q0, jnp.full(grid.shape, cfg.epsilon, q0.dtype))
-    )
+    if u_prev is None:
+        u_prev = jnp.full(grid.shape, cfg.epsilon, q0.dtype)
+    q, u = lax.fori_loop(start, start + count, body, (q0, u_prev))
     return q, u
 
 
