@@ -248,9 +248,15 @@ def main():
                               step=(ci + 1) * chunk, time=float(tt))
             loaded, meta = ckpt.load_sharded(
                 ck, {"u": uu.sharding, "q": qq.sharding}, config=cfg)
-            same_u = bool(jnp.all(loaded["u"] == uu))
-            same_q = bool(jnp.all(loaded["q"] == qq))
-            assert same_u and same_q, "checkpoint splice round-trip mismatch"
+            # compare on HOST: the TPU emulates f64 as (hi, lo) f32 pairs
+            # and compiled outputs may carry a non-canonical pair for the
+            # same f64 value, so an on-device == of reloaded (canonical)
+            # vs computed (non-canonical) arrays is false-negative; the
+            # host f64 view is the value the checkpoint stores.
+            du = np.abs(np.asarray(loaded["u"]) - np.asarray(uu)).max()
+            dq = np.abs(np.asarray(loaded["q"]) - np.asarray(qq)).max()
+            assert du == 0.0 and dq == 0.0, \
+                f"checkpoint splice round-trip mismatch (du={du}, dq={dq})"
             carry = (loaded["u"], loaded["q"], sc, tt)
             print(f"  [splice] sharded save+restore at step "
                   f"{(ci + 1) * chunk}: bitwise OK "
