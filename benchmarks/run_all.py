@@ -267,7 +267,9 @@ def bench_pallas_stencils():
         lap_periodic_pallas, sh_operator_pallas,
     )
     from iterative_solvers_tpu.ops.stencils import lap_periodic, sh_linear_operator
-    from iterative_solvers_tpu.utils.roofline import device_hbm_gbps
+    from iterative_solvers_tpu.utils.roofline import (
+        device_hbm_gbps, roofline_denominator_gbps,
+    )
 
     n = 4096
     h = 40.0 / n
@@ -305,10 +307,10 @@ def bench_pallas_stencils():
                                   stats=True)
         emit(f"{name}_apply", ms, "ms")
         emit(f"{name}_roofline_frac",
-             bytes_min / ms / 1e6 / device_hbm_gbps(), "x")
+             bytes_min / ms / 1e6 / roofline_denominator_gbps(), "x")
         if "pallas" in name:
             emit(f"{name}_roofline_frac_best",
-                 bytes_min / ms_best / 1e6 / device_hbm_gbps(), "x")
+                 bytes_min / ms_best / 1e6 / roofline_denominator_gbps(), "x")
 
     # 8192² control: the 4096² in+out working set (128 MB) sits at the VMEM
     # boundary; this row's 512 MB provably streams from HBM, confirming the
@@ -321,7 +323,7 @@ def bench_pallas_stencils():
                      25, 100, reps=5)
     emit("lap8192_pallas_apply", ms, "ms")
     emit("lap8192_pallas_roofline_frac",
-         2 * n8 * n8 * 4 / ms / 1e6 / device_hbm_gbps(), "x")
+         2 * n8 * n8 * 4 / ms / 1e6 / roofline_denominator_gbps(), "x")
 
 
 def bench_droplet_jvp():
@@ -335,7 +337,9 @@ def bench_droplet_jvp():
     from iterative_solvers_tpu.ops.pallas_droplet import (
         jvp_matvec_pallas, jvp_apply_ref,
     )
-    from iterative_solvers_tpu.utils.roofline import device_hbm_gbps
+    from iterative_solvers_tpu.utils.roofline import (
+        device_hbm_gbps, roofline_denominator_gbps,
+    )
 
     n = 4096
     fixture = fx.load(
@@ -370,7 +374,7 @@ def bench_droplet_jvp():
         ms = marginal_ms(chain_fn(op, v, stack), 10, 60, reps=5)
         emit(f"{name}_matvec", ms, "ms")
         emit(f"{name}_roofline_frac",
-             bytes_min / ms / 1e6 / device_hbm_gbps(), "x")
+             bytes_min / ms / 1e6 / roofline_denominator_gbps(), "x")
 
 
 def bench_spmv():
@@ -382,7 +386,8 @@ def bench_spmv():
     (cpp_work main.cpp:38-81)."""
     from iterative_solvers_tpu.ops.sparse import CSR, BSR, GridDIA, sh_operator
     from iterative_solvers_tpu.utils.roofline import (
-        spmv_cost, spmv_kernel_cost, device_hbm_gbps, working_set_exceeds_vmem,
+        spmv_cost, spmv_kernel_cost, device_hbm_gbps,
+        roofline_denominator_gbps, working_set_exceeds_vmem,
     )
 
     n = 1024
@@ -392,7 +397,10 @@ def bench_spmv():
     x = jnp.array(
         np.random.default_rng(0).standard_normal(n * n), dtype=jnp.float32
     )
-    hbm = device_hbm_gbps()
+    # honest roofline denominator: max(spec, measured stream) — emitted so
+    # the artifact records the calibration every fraction is judged against
+    hbm = roofline_denominator_gbps()
+    emit("hbm_roofline_denominator", hbm, "GB/s")
 
     def emit_dia_kernel_rows(name, nnz_row, ms, ndiags, ny, nx):
         """Throughput + an HONEST bandwidth row for a diagonal-format kernel.
