@@ -402,27 +402,39 @@ def bench_spmv():
     hbm = roofline_denominator_gbps()
     emit("hbm_roofline_denominator", hbm, "GB/s")
 
-    def emit_dia_kernel_rows(name, nnz_row, ms, ndiags, ny, nx):
+    def emit_dia_kernel_rows(name, nnz_row, ms, ndiags, ny, nx, bm=64):
         """Throughput + an HONEST bandwidth row for a diagonal-format kernel.
 
-        The byte model is what the slab kernel actually moves (stored
-        coefficient fields in full + x with per-chunk halo + y,
-        roofline.spmv_kernel_cost — the r3 nnz-based model undercounted
-        stored zeros and halo re-reads, VERDICT r3 #5).  An HBM-roofline
-        fraction is only emitted when the working set exceeds 1.5x VMEM;
-        smaller problems can be served from VMEM across the timing chain
-        (inputs are memory_space=ANY), where an "HBM fraction" is
-        meaningless — those emit achieved GB/s labeled vmem_resident."""
+        The fraction's numerator counts only bytes that PROVABLY stream
+        from HBM every call.  Inputs are memory_space=ANY, so across a
+        timing chain XLA may pin any buffer that fits in VMEM: the r4 runs
+        measured (a) the whole 28 MB Dirichlet operator resident (5.5 TB/s
+        apparent), and (b) at 240 MB working sets an apparent 1.04-1.07x
+        "HBM" fraction because the 36 MB x/y pair stayed resident while
+        only the 208 MB coefficient array streamed.  Hence: coefficient
+        bytes count when the coefficient array alone exceeds VMEM; x/y
+        bytes count only when they cannot sit in VMEM (> VMEM/2).  If
+        nothing provably streams, the row reports achieved GB/s labelled
+        vmem_resident (a real capability, not an HBM claim)."""
+        from iterative_solvers_tpu.utils.roofline import device_vmem_bytes
+
         emit(f"spmv_{name}_nnz_per_s", nnz_row / ms / 1e6, "Gnnz/s")
-        cost = spmv_kernel_cost(ndiags, ny, nx, 4)
-        ws = (ndiags + 2) * ny * nx * 4
-        if working_set_exceeds_vmem(ws):
-            frac = cost.achieved_gbps(ms / 1e3) / hbm
+        n_el = ny * nx
+        vmem = device_vmem_bytes()
+        # guaranteed-HBM bytes: ONLY buffers that individually exceed VMEM
+        # (XLA pins whole buffers; anything that fits may be served from
+        # VMEM across the chain — measured: a pinned 36 MB x/y pair made a
+        # 240 MB working set read as 1.04-1.07x "of HBM peak" in r4's
+        # first pass, and a fully-resident 28 MB operator read as 5.5 TB/s)
+        bufs = [ndiags * n_el * 4, n_el * 4, n_el * 4]  # coef, x, y
+        hbm_bytes = sum(b for b in bufs if b > vmem)
+        if hbm_bytes > 1.5 * vmem:
+            frac = hbm_bytes / ms / 1e6 / hbm
             assert frac <= 1.05, (name, frac)  # accounting must be physical
             emit(f"spmv_{name}_roofline_frac", frac, "x")
         else:
             emit(f"spmv_{name}_gbps_vmem_resident",
-                 cost.achieved_gbps(ms / 1e3), "GB/s")
+                 sum(bufs) / ms / 1e6, "GB/s")
 
     # the containers' arrays travel as jit arguments (see chain_fn); only
     # static metadata is closed over via _replace on a template instance
@@ -620,17 +632,21 @@ def bench_spmv():
     from iterative_solvers_tpu.ops.pallas_spmv import grid_dia_matmat_pallas
 
     def emit_spmm_rows(name, nnz_row, ms, ndiags, nrhs, ny, nx, bm=32):
+        # same provably-streams (per-buffer > VMEM) accounting as
+        # emit_dia_kernel_rows; X and Y are each ONE (nrhs, ny, nx) buffer
+        from iterative_solvers_tpu.utils.roofline import device_vmem_bytes
+
         emit(f"spmm_{name}_nnz_per_s", nnz_row * nrhs / ms / 1e6, "Gnnz/s")
-        bytes_k = (ndiags * ny * nx
-                   + nrhs * ny * nx * (bm + 2 * 8) // bm
-                   + nrhs * ny * nx) * 4
-        ws = (ndiags + 2 * nrhs) * ny * nx * 4
-        if working_set_exceeds_vmem(ws):
-            frac = bytes_k / ms / 1e6 / hbm
+        n_el = ny * nx
+        vmem = device_vmem_bytes()
+        bufs = [ndiags * n_el * 4, nrhs * n_el * 4, nrhs * n_el * 4]
+        hbm_bytes = sum(b for b in bufs if b > vmem)
+        if hbm_bytes > 1.5 * vmem:
+            frac = hbm_bytes / ms / 1e6 / hbm
             assert frac <= 1.05, (name, frac)
             emit(f"spmm_{name}_roofline_frac", frac, "x")
         else:
-            emit(f"spmm_{name}_gbps_vmem_resident", bytes_k / ms / 1e6,
+            emit(f"spmm_{name}_gbps_vmem_resident", sum(bufs) / ms / 1e6,
                  "GB/s")
 
     for nn in (1024, 2048):
