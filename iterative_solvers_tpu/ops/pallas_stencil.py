@@ -66,20 +66,25 @@ def _lap_rows(s, inv_h2, lo, hi):
             - 4.0 * core) * inv_h2
 
 
-def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype):
+def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
+                             slots: int = 2):
     """Slab pipeline: ``compute((bm + 2*HALO, n) slab) -> (bm, n) block``,
-    double-buffered on both the input loads and the output stores.
+    ``slots``-deep buffered on both the input loads and the output stores
+    (2 = classic double buffering; deeper keeps more DMAs in flight, which
+    hides per-chunk DMA latency at HBM-streaming sizes where the 2-slot
+    pipeline measured only ~320 GB/s of the ~670 achievable).
 
-    The VMEM limit is derived from the actual scratch footprint (two
-    double-buffered slab sets plus two output blocks) rather than hardcoded,
-    so larger ``block_rows`` requests compile instead of tripping a fixed cap.
+    The VMEM limit is derived from the actual scratch footprint rather than
+    hardcoded, so larger ``block_rows``/``slots`` requests compile instead
+    of tripping a fixed cap.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nchunks = n_rows // bm
+    slots = min(slots, nchunks)
     itemsize = jnp.dtype(dtype).itemsize
-    scratch_bytes = (2 * (bm + 2 * _HALO) + 2 * bm) * n_cols * itemsize
+    scratch_bytes = (slots * (bm + 2 * _HALO) + slots * bm) * n_cols * itemsize
     # Mosaic's scoped-vmem accounting also charges the compute body's
     # intermediates (~4 block-sized temps for the fused double Laplacian),
     # so budget 2.5x the declared scratch plus fixed slack.
@@ -121,25 +126,26 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype):
                 out_sems.at[slot],
             )
 
-        for c in in_copies(jnp.int32(0), jnp.int32(0)):  # warm-up
-            c.start()
+        for j in range(slots - 1):  # warm-up: slots-1 chunks in flight
+            for c in in_copies(jnp.int32(j), jnp.int32(j)):
+                c.start()
 
         def body(idx, _):
-            slot = lax.rem(idx, jnp.int32(2))
-            nslot = lax.rem(idx + jnp.int32(1), jnp.int32(2))
+            slot = lax.rem(idx, jnp.int32(slots))
+            nslot = lax.rem(idx + jnp.int32(slots - 1), jnp.int32(slots))
 
-            @pl.when(idx + 1 < nchunks)
+            @pl.when(idx + (slots - 1) < nchunks)
             def _():
-                for c in in_copies(nslot, idx + jnp.int32(1)):
+                for c in in_copies(nslot, idx + jnp.int32(slots - 1)):
                     c.start()
 
             for c in in_copies(slot, idx):
                 c.wait()
 
-            # outs[slot] still streaming to HBM from two chunks ago
-            @pl.when(idx >= 2)
+            # outs[slot] still streaming to HBM from ``slots`` chunks ago
+            @pl.when(idx >= slots)
             def _():
-                out_copy(slot, idx - jnp.int32(2)).wait()
+                out_copy(slot, idx - jnp.int32(slots)).wait()
 
             outs[slot] = compute(slabs[slot])
             out_copy(slot, idx).start()
@@ -147,10 +153,8 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype):
 
         lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), body, jnp.int32(0))
 
-        @pl.when(jnp.int32(nchunks) >= 2)  # drain the last two stores
-        def _():
-            out_copy(jnp.int32(nchunks % 2), jnp.int32(nchunks - 2)).wait()
-        out_copy(jnp.int32((nchunks - 1) % 2), jnp.int32(nchunks - 1)).wait()
+        for j in range(max(0, nchunks - slots), nchunks):  # drain stores
+            out_copy(jnp.int32(j % slots), jnp.int32(j)).wait()
 
     return pl.pallas_call(
         kernel,
@@ -159,10 +163,10 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, bm + 2 * _HALO, n_cols), dtype),
-            pltpu.VMEM((2, bm, n_cols), dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((slots, bm + 2 * _HALO, n_cols), dtype),
+            pltpu.VMEM((slots, bm, n_cols), dtype),
+            pltpu.SemaphoreType.DMA((slots, 3)),
+            pltpu.SemaphoreType.DMA((slots,)),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -183,10 +187,12 @@ def _pallas_eligible(u, block_rows: int) -> bool:
     )
 
 
-def lap_periodic_pallas(u, h: float, block_rows: int = 128):
-    """Double-buffered blocked periodic Laplacian (84% HBM roofline at
-    4096² f32 on v5e).  Falls back to jnp off-TPU, for non-f32 dtypes, or
-    when the grid is too small to block."""
+def lap_periodic_pallas(u, h: float, block_rows: int = 128,
+                        slots: int = 2):
+    """Buffered blocked periodic Laplacian (0.77 useful-byte fraction at
+    4096² f32 on v5e; ``slots`` deepens the DMA pipeline — see
+    _double_buffered_stencil).  Falls back to jnp off-TPU, for non-f32
+    dtypes, or when the grid is too small to block."""
     n_rows, n_cols = u.shape
     if not _pallas_eligible(u, block_rows):
         return stencils.lap_periodic(u, h)
@@ -197,7 +203,8 @@ def lap_periodic_pallas(u, h: float, block_rows: int = 128):
     def compute(s):
         return _lap_rows(s, inv_h2, _HALO, _HALO + bm)
 
-    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype)(u)
+    return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype,
+                                    slots=slots)(u)
 
 
 def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128):
