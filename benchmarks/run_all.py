@@ -387,7 +387,7 @@ def bench_spmv():
     from iterative_solvers_tpu.ops.sparse import CSR, BSR, GridDIA, sh_operator
     from iterative_solvers_tpu.utils.roofline import (
         spmv_cost, spmv_kernel_cost, device_hbm_gbps,
-        roofline_denominator_gbps, working_set_exceeds_vmem,
+        roofline_denominator_gbps,
     )
 
     n = 1024
