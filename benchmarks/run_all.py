@@ -386,8 +386,7 @@ def bench_spmv():
     (cpp_work main.cpp:38-81)."""
     from iterative_solvers_tpu.ops.sparse import CSR, BSR, GridDIA, sh_operator
     from iterative_solvers_tpu.utils.roofline import (
-        spmv_cost, spmv_kernel_cost, device_hbm_gbps,
-        roofline_denominator_gbps,
+        spmv_cost, roofline_denominator_gbps,
     )
 
     n = 1024
@@ -402,7 +401,7 @@ def bench_spmv():
     hbm = roofline_denominator_gbps()
     emit("hbm_roofline_denominator", hbm, "GB/s")
 
-    def emit_dia_kernel_rows(name, nnz_row, ms, ndiags, ny, nx, bm=64):
+    def emit_dia_kernel_rows(name, nnz_row, ms, ndiags, ny, nx):
         """Throughput + an HONEST bandwidth row for a diagonal-format kernel.
 
         The fraction's numerator counts only bytes that PROVABLY stream

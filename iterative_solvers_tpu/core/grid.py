@@ -90,8 +90,8 @@ class Grid2D:
         graph, which inflates compile time and overflows the remote-compile
         request limit (HTTP 413).  Use this inside traced code.
 
-        The cast happens in numpy so the requested dtype is honored even
-        with jax x64 disabled (jnp.asarray would silently give f32 there).
+        The cast happens in numpy (no jnp astype round-trip in the graph;
+        note jnp.asarray still downcasts f64 to f32 when x64 is disabled).
         """
         import jax.numpy as jnp
 

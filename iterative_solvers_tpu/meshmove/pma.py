@@ -84,8 +84,13 @@ def solve_pma(mon, jac, grid: Grid2D, params: PMAParams):
     if params.spectral_dtype is not None:
         q_rhs = q_rhs.astype(params.spectral_dtype)
     leig = jnp.asarray(pma_leig(grid), dtype=q_rhs.dtype)
-    assert params.spectral_precision in ("highest", "high"), \
-        "bf16-pass spectral matmuls NaN the mesh on chip (r3 root cause)"
+    if params.spectral_precision not in ("highest", "high"):
+        # not an assert: -O must not let "default" (bf16 MXU passes, the r3
+        # on-chip NaN class) fall through to the else branch below
+        raise ValueError(
+            f"spectral_precision={params.spectral_precision!r}: only "
+            "'highest'/'high' are allowed (bf16-pass spectral matmuls NaN "
+            "the mesh on chip, r3 root cause)")
     prec = (lax.Precision.HIGHEST if params.spectral_precision == "highest"
             else lax.Precision.HIGH)
     dqdt = idct2(dct2(q_rhs, precision=prec) / (1.0 - params.gamma * leig),

@@ -435,6 +435,13 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
     same ~1e-13 relative accuracy at roughly half the TPU cost.  The state
     stays f64; pair with ``jvp_dtype``/``jvp_kernel`` (the FD-differencing
     path would difference the df64 rounding floor).
+
+    (A DCT constant-coefficient spectral preconditioner for the inner cycle
+    was built and measured HARMFUL here — the mobility h^3 varies ~7 orders
+    across the field, so any frozen symbol mis-scales most of the domain;
+    at 91x61 it broke convergence even at dt=1e-5 where the plain path
+    takes 4 Newton iterations.  Deeper inner solves use the solver's
+    ``inner_maxiter`` restarts instead — cheap fused-kernel matvecs.)
     """
     if solver is None:
         # reference: newton_krylov(..., maxiter=20, f_tol=1e-7)
@@ -444,7 +451,10 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
     geometry_fn = (curvilinear.mesh_geometry_dev if deviation_form
                    else curvilinear.mesh_geometry)
 
-    def step(u, q, dt_n):
+    def step(u, q, dt_n, dtmesh_n=None):
+        # ``dtmesh_n`` (traced) overrides the static ``dtmesh`` — long-run
+        # drivers scale the mesh pseudo-step with the adaptive dt_n to hold
+        # the proven mesh-pseudo-time : physical-time ratio as dt grows
         geom = geometry_fn(q, grid)
         F = pde_rhs(u, geom, cfg)
         slv = solver
@@ -482,8 +492,8 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
         # reference ordering: loop_pma's monitor is driven by the *old*
         # solution — U.val is only replaced at the top of the next step
         # (droplet.py:373,384; compute_u_spatial_ders reads U.val)
-        q_new = loop_pma(q, u, dtmesh, pma_loops, grid, cfg.pma, mon_src,
-                         geometry_fn)
+        q_new = loop_pma(q, u, dtmesh if dtmesh_n is None else dtmesh_n,
+                         pma_loops, grid, cfg.pma, mon_src, geometry_fn)
         return DropletStepResult(u=res.x, q=q_new, newton_iters=res.iters,
                                  f_norm=res.f_norm, converged=res.converged)
 

@@ -88,7 +88,11 @@ def _lgmres_cycle(matvec, precond, x, r, rnorm, tol_abs, inner_m, rec, store_av)
 
     V = jnp.zeros((_basis_rows(mtot + 1, shape, r.dtype.itemsize),) + shape,
                   dtype=dtype)
-    V = V.at[0].set(precond(r) / jnp.where(rnorm > 0, rnorm, 1.0))
+    # flexible-right preconditioning: the Arnoldi basis starts from the raw
+    # residual (scipy _fgmres: v0 = r/||r||); M^{-1} enters only through the
+    # aux directions z_j = precond(V[j]) below.  Starting from precond(r)
+    # breaks the least-squares identity V[0] g[0] ~ r whenever M != I.
+    V = V.at[0].set(r / jnp.where(rnorm > 0, rnorm, 1.0))
     Z = jnp.zeros((mtot,) + shape, dtype=dtype)
     R = jnp.eye(mtot, dtype=dtype)
     g = jnp.zeros(mtot + 1, dtype=dtype).at[0].set(rnorm)

@@ -66,6 +66,11 @@ class NewtonKrylov:
     maxiter: int = 100
     inner_m: int = 30                  # lgmres subspace per Newton iteration
     outer_k: int = 10                  # recycled vectors (scipy KrylovJacobian)
+    inner_maxiter: int = 1             # lgmres cycles per Newton iteration
+    # (scipy KrylovJacobian passes maxiter=1; >1 restarts the cycle on the
+    # true linear residual with the recycle buffer carrying over — the
+    # unpreconditioned way to buy a deeper inner solve at stiff dt without
+    # growing the O(m^2 n) orthogonalisation buffers)
     rdiff: float | None = None         # None -> eps**0.5 of the dtype
     jvp_mode: str = "fd"               # "fd" (scipy-parity) | "exact" (jax.jvp)
     line_search: bool = True
@@ -83,6 +88,14 @@ class NewtonKrylov:
     # this removes every full-precision residual evaluation from the Krylov
     # loop — the fastest path on TPU.  Compared statically; the dataclass
     # stays hashable because functions hash by identity.
+    psolve_factory: Callable | None = None
+    # Optional right/flexible preconditioner: ``psolve_factory(x, fx) ->
+    # (v -> M^{-1} v)``, applied inside the LGMRES cycle in the *inner*
+    # dtype (the scipy ``KrylovJacobian``/lgmres ``psolve`` hook, which the
+    # reference's C++ port also carries — SURVEY.md §2.11).  The cycle is
+    # flexible (preconditioned directions are stored in Z and the update is
+    # taken from Z), so M may change between Newton iterations; recycled
+    # outer vectors from earlier iterations remain valid directions.
 
     def solve(self, residual: Callable, x0: jax.Array, *args) -> NewtonResult:
         """Solve ``residual(x, *args) = 0`` starting from ``x0``.
@@ -160,12 +173,31 @@ class NewtonKrylov:
             else:
                 mv = partial(matvec_at, x, fx)
                 rhs = -fx
+            ps = (self.psolve_factory(x, fx) if self.psolve_factory
+                  is not None else (lambda v: v))
             rnorm = _norm(rhs)
             tol_inner = (jnp.minimum(eta, eta * rnorm) * rnorm).astype(rhs.dtype)
             dx, _, inner_j, rec = _lgmres_cycle(
-                mv, lambda v: v, jnp.zeros_like(rhs), rhs, rnorm,
+                mv, ps, jnp.zeros_like(rhs), rhs, rnorm,
                 tol_inner, self.inner_m, rec, store_av=False,
             )
+            if self.inner_maxiter > 1:
+                def cycle_cond(cs):
+                    dxc, recc, jc, cyc = cs
+                    r = rhs - mv(dxc)
+                    return (_norm(r) > tol_inner) & (cyc < self.inner_maxiter)
+
+                def cycle_body(cs):
+                    dxc, recc, jc, cyc = cs
+                    r = rhs - mv(dxc)
+                    dxc, _, jstep, recc = _lgmres_cycle(
+                        mv, ps, dxc, r, _norm(r), tol_inner, self.inner_m,
+                        recc, store_av=False,
+                    )
+                    return (dxc, recc, jc + jstep, cyc + 1)
+
+                dx, rec, inner_j, _ = lax.while_loop(
+                    cycle_cond, cycle_body, (dx, rec, inner_j, jnp.int32(1)))
             dx = dx.astype(dtype)
 
             if self.line_search:

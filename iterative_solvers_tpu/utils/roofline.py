@@ -109,9 +109,11 @@ def measured_stream_gbps(n: int = 8192, reps: int = 5) -> float:
     the marginal-cost method.  The public 819 GB/s v5e figure is slightly
     conservative (sequential streams measure ~3-5% above it), which alone
     pushes honest byte-accounted fractions over 1.0 — roofline
-    denominators should use ``max(spec, measured)``.  Cached per process."""
-    if "v" in _HBM_MEASURED:
-        return _HBM_MEASURED["v"]
+    denominators should use ``max(spec, measured)``.  Cached per process
+    keyed on (n, reps)."""
+    key = (n, reps)
+    if key in _HBM_MEASURED:
+        return _HBM_MEASURED[key]
     import time
 
     import jax
@@ -134,8 +136,8 @@ def measured_stream_gbps(n: int = 8192, reps: int = 5) -> float:
         return float(np.median(ts))
 
     t = (run(80) - run(10)) / 70.0
-    _HBM_MEASURED["v"] = 3 * n * n * 4 / t / 1e9
-    return _HBM_MEASURED["v"]
+    _HBM_MEASURED[key] = 3 * n * n * 4 / t / 1e9
+    return _HBM_MEASURED[key]
 
 
 def roofline_denominator_gbps() -> float:

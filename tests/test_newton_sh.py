@@ -137,3 +137,39 @@ def test_sh_semi_implicit_vs_spsolve(sh_small):
     np.testing.assert_allclose(
         np.asarray(got).reshape(-1), want, atol=1e-8
     )
+
+
+# -- r5 solver features: psolve_factory + inner_maxiter ----------------------
+
+def _stiff_linear_residual(n=48, cond=1e6):
+    """F(x) = A x - b with A = I + c*diag(lam), lam the DCT-squared spectrum
+    — a proxy for the 4th-order CN operators whose inner solves need
+    preconditioning at large dt."""
+    lam = jnp.asarray(np.linspace(0.0, 1.0, n) ** 2 * (cond - 1.0) + 1.0)
+    b = jnp.asarray(RNG.standard_normal(n))
+    return lambda x: lam * x - b, lam, b
+
+
+def test_newton_psolve_factory_accelerates_stiff_inner():
+    """With the exact inverse as psolve, a single tiny lgmres cycle solves
+    the kappa=1e6 system; unpreconditioned the same budget stalls."""
+    F, lam, b = _stiff_linear_residual()
+    kw = dict(f_tol=1e-8, maxiter=4, inner_m=5, outer_k=1, line_search=False)
+    plain = newton_krylov(F, jnp.zeros_like(b), **kw)
+    pre = newton_krylov(F, jnp.zeros_like(b),
+                        psolve_factory=lambda x, fx: (lambda v: v / lam), **kw)
+    assert bool(pre.converged)
+    assert not bool(plain.converged)
+    np.testing.assert_allclose(np.asarray(F(pre.x)), 0, atol=1e-7)
+
+
+def test_newton_inner_maxiter_deepens_inner_solve():
+    """inner_maxiter=k restarts the cycle on the true linear residual —
+    same semantics, strictly more inner progress on a hard system."""
+    F, lam, b = _stiff_linear_residual(cond=1e4)
+    kw = dict(f_tol=1e-8, maxiter=3, inner_m=8, outer_k=2,
+              line_search=False)
+    one = newton_krylov(F, jnp.zeros_like(b), inner_maxiter=1, **kw)
+    deep = newton_krylov(F, jnp.zeros_like(b), inner_maxiter=40, **kw)
+    assert float(deep.f_norm) < float(one.f_norm)
+    assert bool(deep.converged)
