@@ -28,7 +28,7 @@ trajectories.
 Usage:
   python examples/droplet_longrun.py [n] [max_steps] [key=val ...]
     keys: chunk, dt0, dt_max, growth, f_tol, maxiter, inner_m, outer_k,
-          inner_maxiter, precond (none|spectral), pma_loops, t_stop, r_stop,
+          inner_maxiter, pma_loops, t_stop, r_stop,
           fresh (1 = ignore existing checkpoint), tag
 """
 import dataclasses
@@ -112,11 +112,9 @@ def main():
         outer_k=int(o.get("outer_k", 6)),
         inner_maxiter=int(o.get("inner_maxiter", 1)),
         inner_dtype="float32", max_backtracks=4)
-    precond = o.get("precond", "none")
     step = dp.make_step(
         cfg, dt=dt0, dtmesh=dtmesh_cap, pma_loops=pma_loops, solver=solver,
-        deviation_form=True, jvp_dtype="float32", jvp_kernel=True,
-        precond=None if precond == "none" else precond)
+        deviation_form=True, jvp_dtype="float32", jvp_kernel=True)
 
     ck_dir = BENCH / f"longrun_{tag}_ckpt"
     side = ck_dir / "carry.json"

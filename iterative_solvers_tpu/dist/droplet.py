@@ -73,7 +73,8 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
                      axis_name: str = "y",
                      pma_solver: str = "spectral",
                      solver: NewtonKrylov | None = None,
-                     x_axis_name: str | None = None) -> ShardedDropletOps:
+                     x_axis_name: str | None = None,
+                     jvp_dtype: str | None = None) -> ShardedDropletOps:
     """Build the explicit-halo distributed droplet operators.
 
     ``pma_solver``: "spectral" (DCT matmuls at the global level) or
@@ -85,6 +86,16 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
     :func:`..dist.halo.sharded_xy_chain` (edge strips + corner patches),
     so the explicit path runs on a ``(py, px)`` mesh instead of rows-only.
     Defaults to rows-only when omitted or when the mesh lacks the axis.
+
+    ``jvp_dtype="float32"`` is the PRODUCTION inner-Krylov configuration
+    (VERDICT r4 item 5 — models.droplet.make_step's fast path, distributed):
+    the Newton matvec becomes the *exact* JVP (jax.jvp) of the f32-cast
+    sharded residual chain — forward-mode differentiates straight through
+    the shard_map/ppermute halo exchanges — and the LGMRES cycle runs in
+    f32 (``inner_dtype``), while outer residuals, line search, and
+    convergence checks stay at the state dtype.  Halo traffic in the inner
+    loop halves (f32 edges), and the O(m^2 n) orthogonalisation runs
+    native-speed instead of f64-emulated.
     """
     grid = cfg.grid
     two_d = (x_axis_name is not None
@@ -186,11 +197,26 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
         return lax.fori_loop(0, loops, body, phi)
 
     # -- full step (mirrors models.droplet.make_step) ------------------------
+    import dataclasses as _dc
+
     nk = solver or dp.fast_solver()
 
     def step(u, phi, dt, dtmesh, pma_loops: int):
         F = pde_rhs(u, phi)
-        res = nk.solve(lambda v: residual(v, u, F, phi, dt), u)
+        slv = nk
+        if jvp_dtype is not None:
+            jd = jnp.dtype(jvp_dtype)
+            u_j, f_j, phi_j = u.astype(jd), F.astype(jd), phi.astype(jd)
+            dt_j = jnp.asarray(dt, jd)
+
+            def factory(x, fxv):
+                x_j = x.astype(jd)
+                res_j = lambda w: residual(w, u_j, f_j, phi_j, dt_j)  # noqa: E731
+                return lambda v: jax.jvp(res_j, (x_j,), (v,))[1]
+
+            slv = _dc.replace(nk, matvec_factory=factory,
+                              inner_dtype=str(jd))
+        res = slv.solve(lambda v: residual(v, u, F, phi, dt), u)
         phi_new = loop_pma(phi, u, dtmesh, pma_loops)
         return dp.DropletStepResult(u=res.x, q=phi_new,
                                     newton_iters=res.iters,

@@ -194,3 +194,28 @@ def test_sharded_step_chebyshev_pma_runs(setup):
     dq_scale = np.abs(np.asarray(ref.q) - np.asarray(phi)).max()
     diff = np.abs(np.asarray(got.q) - np.asarray(ref.q)).max()
     assert diff < 0.05 * dq_scale + 1e-12, (diff, dq_scale)
+
+
+def test_sharded_full_step_production_config_matches_single(setup):
+    """VERDICT r4 item 5: the sharded step in the PRODUCTION configuration —
+    exact f32 JVP matvecs (jax.jvp through the shard_map halo chains) + f32
+    inner Krylov — matches the single-device production path at the same
+    tolerance the f64-FD case passes."""
+    cfg, mesh, phi, u = setup
+    solver = NewtonKrylov(f_tol=1e-9, maxiter=6, inner_m=10, outer_k=5,
+                          inner_dtype="float32")
+    ops = make_sharded_ops(cfg, mesh, solver=solver, jvp_dtype="float32")
+    dt, dtmesh, loops = 1e-6, 1e-9, 3
+
+    step_single = dp.make_step(cfg, dt=dt, dtmesh=dtmesh, pma_loops=loops,
+                               solver=solver, deviation_form=True,
+                               jvp_dtype="float32")
+    want = step_single(u, phi, dt)
+
+    got = jax.jit(lambda a, b: ops.step(a, b, dt, dtmesh, loops))(
+        jax.device_put(u, ops.sharding), jax.device_put(phi, ops.sharding))
+    assert bool(got.converged) and bool(want.converged)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got.q), np.asarray(want.q),
+                               rtol=1e-8, atol=1e-11)
