@@ -28,8 +28,11 @@ trajectories.
 Usage:
   python examples/droplet_longrun.py [n] [max_steps] [key=val ...]
     keys: chunk, dt0, dt_max, growth, f_tol, maxiter, inner_m, outer_k,
-          inner_maxiter, pma_loops, t_stop, r_stop,
-          fresh (1 = ignore existing checkpoint), tag
+          inner_maxiter, pma_loops, t_stop, r_stop, monitor_cap (0 = off),
+          fresh (1 = ignore existing checkpoint), tag,
+          from_tag (A/B probes: resume from another tag's checkpoint
+          without touching it — pair with save=0), save (0 = no
+          checkpoint/jsonl writes)
 """
 import dataclasses
 import json
@@ -87,9 +90,11 @@ def main():
     base = fx.config_for(fx.load(
         "/root/reference/python_work/"
         "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt"))
+    mcap = float(o.get("monitor_cap", 15.0))
     cfg = dataclasses.replace(
         base, nx=n, ny=n, spectral_dtype="float32", mesh_dtype="float32",
-        spectral_precision=("high" if n >= 2048 else "highest"))
+        spectral_precision=("high" if n >= 2048 else "highest"),
+        monitor_cap=(mcap if mcap > 0 else None))
     grid = cfg.grid
 
     # dt controller (see module docstring)
@@ -116,10 +121,11 @@ def main():
         cfg, dt=dt0, dtmesh=dtmesh_cap, pma_loops=pma_loops, solver=solver,
         deviation_form=True, jvp_dtype="float32", jvp_kernel=True)
 
-    ck_dir = BENCH / f"longrun_{tag}_ckpt"
+    ck_dir = BENCH / f"longrun_{o.get('from_tag', tag)}_ckpt"
     side = ck_dir / "carry.json"
     out_path = BENCH / f"longrun_droplet_{tag}.jsonl"
     fresh = o.get("fresh", "0") == "1"
+    save = o.get("save", "1") == "1"
 
     if side.exists() and not fresh:
         sh = jax.sharding.SingleDeviceSharding(jax.devices()[0])
@@ -208,7 +214,7 @@ def main():
         tc = time.time() - tc0
         iters, fnorms, oks, atts, dts, ts, reffs, msps = (
             np.asarray(a) for a in aux)
-        with open(out_path, "a") as f:
+        with open(out_path if save else "/dev/null", "a") as f:
             for i in range(chunk):
                 f.write(json.dumps({
                     "step": steps_done + i + 1, "t": float(ts[i]),
@@ -219,11 +225,12 @@ def main():
                 }) + "\n")
         steps_done += chunk
         uu, qq, dt_c, t_c = carry
-        ckpt.save_sharded(ck_dir, {"u": uu, "q": qq}, config=cfg,
-                          step=steps_done, time=float(t_c))
-        side.write_text(json.dumps({
-            "step": steps_done, "t": float(t_c), "dt": float(dt_c),
-            "wall_s_total": time.time() - t_wall}))
+        if save:
+            ckpt.save_sharded(ck_dir, {"u": uu, "q": qq}, config=cfg,
+                              step=steps_done, time=float(t_c))
+            side.write_text(json.dumps({
+                "step": steps_done, "t": float(t_c), "dt": float(dt_c),
+                "wall_s_total": time.time() - t_wall}))
         print(f"[{tag}] step {steps_done}: t={float(t_c):.4e} "
               f"dt={float(dt_c):.3e} r_eff={reffs[-1]:.5f} "
               f"iters={iters[-1]} conv={int(oks.sum())}/{chunk} "

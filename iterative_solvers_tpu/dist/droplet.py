@@ -173,7 +173,10 @@ def make_sharded_ops(cfg: "dp.DropletConfig", mesh: Mesh,
         mon = sharded(_monitor_chain, DEPTH_MONITOR, 4)(u, phi, xx, yy)
         jac = sharded(_jac_chain, DEPTH_GEOM, 3)(phi, xx, yy)
         integral = jnp.sum(mon * jnp.abs(jac)) * grid.dx * grid.dy
-        return mon + cfg.pma.mackenzie_c * integral, jac
+        floor = cfg.pma.mackenzie_c * integral
+        if cfg.pma.monitor_cap is not None:
+            mon = jnp.minimum(mon, cfg.pma.monitor_cap * floor)
+        return mon + floor, jac
 
     # -- PMA mesh solve ------------------------------------------------------
     def _lap_chain(v):

@@ -53,15 +53,31 @@ def smooth_pass(t):
 
 
 def smooth_and_regularise(mon_src, jac, dx: float, dy: float,
-                          smoothing_iters: int = 4, mackenzie_c: float = 1.0):
+                          smoothing_iters: int = 4, mackenzie_c: float = 1.0,
+                          cap: float | None = None):
     """Smooth the raw monitor field and apply the Mackenzie floor.
 
     ``mackenzie_c`` is the normalisation constant: 0.15 for the droplet
     workload (droplet.py:44,759), 1.0 for the MEMS/PMA workloads
     (PMA2_nk.py:389-390).
+
+    ``cap`` (fine-grid extension, default None = reference-exact) bounds
+    the monitor at ``cap x`` its Mackenzie floor before the floor is added,
+    so the PMA equidistribution cannot compress the mesh beyond a spacing
+    ratio ~ sqrt(1 + cap).  The reference never needs this: at 91x61 the
+    discrete ``|lap u|^2`` is bounded by the grid (~1/h^4), but once the
+    eps-interface resolves, the raw monitor grows ~1e8 and the TRUE PMA
+    steady state compresses min_spacing to ~1e-5 — measured at 1024² in
+    the r5 long-run trajectory (min_spacing 9e-5 -> 8e-6 over 50 steps as
+    the mesh approached equidistribution), which explodes the metric
+    stiffness and collapses the convergent dt.  A bounded compression
+    ratio is the standard moving-mesh remedy (monitor clipping).
     """
     mon = mon_src
     for _ in range(smoothing_iters):
         mon = smooth_pass(mon)
     integral = jnp.sum(mon * jnp.abs(jac)) * dx * dy
-    return mon + mackenzie_c * integral
+    floor = mackenzie_c * integral
+    if cap is not None:
+        mon = jnp.minimum(mon, cap * floor)
+    return mon + floor

@@ -52,6 +52,10 @@ class PMAParams:
     # passes) or "high" (3 passes, ~5e-7 relative — inside the mesh
     # velocity's ~1e-6 noise budget, half the MXU cost at large grids).
     # "default" (bf16, ~1e-3) is the r3 on-chip NaN class and is rejected.
+    monitor_cap: float | None = None
+    # bound the smoothed monitor at cap x its Mackenzie floor (bounded
+    # mesh-compression regularisation for resolved-interface fine grids —
+    # see meshmove.monitor.smooth_and_regularise).  None = reference-exact.
     mesh_dtype: str | None = None
     # e.g. "float32": run the ENTIRE PMA sub-iteration (geometry, monitor
     # smoothing, spectral solve, Euler update) in reduced precision —
@@ -194,6 +198,7 @@ def pma_dqdt(q, u, grid: Grid2D, params: PMAParams,
         src, geom.jac, grid.dx, grid.dy,
         smoothing_iters=params.smoothing_iters,
         mackenzie_c=params.mackenzie_c,
+        cap=params.monitor_cap,
     )
     return solve_pma(mon, geom.jac, grid, params)
 

@@ -59,6 +59,7 @@ class DropletConfig:
     spectral_dtype: str | None = None   # "float32" = fast PMA transforms
     mesh_dtype: str | None = None       # "float32" = whole PMA loop in f32
     spectral_precision: str = "highest"  # DCT MXU passes; "high" at large n
+    monitor_cap: float | None = None     # bounded mesh compression (fine grids)
 
     @property
     def grid(self) -> Grid2D:
@@ -72,7 +73,8 @@ class DropletConfig:
                          smoothing_iters=self.smoothing_iters,
                          spectral_dtype=self.spectral_dtype,
                          mesh_dtype=self.mesh_dtype,
-                         spectral_precision=self.spectral_precision)
+                         spectral_precision=self.spectral_precision,
+                         monitor_cap=self.monitor_cap)
 
     @property
     def epsilon2(self) -> float:
