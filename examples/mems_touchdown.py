@@ -151,8 +151,9 @@ def main():
             "reached": rows[-1]["u_min"] <= u_stop,
             "wall_s": round(wall, 1), "parity": parity,
         }) + "\n")
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
+        for i, r in enumerate(rows):  # thin: full tail, 1-in-20 elsewhere
+            if i % 20 == 0 or i >= len(rows) - 100:
+                f.write(json.dumps(r) + "\n")
     with open(out) as f:
         print(f.readline().strip())
     print(f"wrote {out}")
