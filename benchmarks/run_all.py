@@ -671,6 +671,26 @@ def bench_spmv():
         emit_spmm_rows(f"griddia_cyclic_pallas_{nn}sq_x8", mc.nnz, ms,
                        len(diam.shifts), 8, nn, nn)
 
+        # row-interleaved rhs layout (ny, nrhs, nx): the slab DMAs become
+        # single contiguous bursts instead of nrhs strided chunks
+        # (VERDICT r4 item 3); block-Krylov callers keep this layout
+        from iterative_solvers_tpu.ops.pallas_spmv import (
+            grid_dia_matmat_interleaved_pallas,
+        )
+
+        Xi = jnp.moveaxis(X3, 0, 1)
+        goti = np.asarray(jax.jit(
+            lambda d, v: grid_dia_matmat_interleaved_pallas(
+                diam._replace(data=d), v))(diam.data, Xi))
+        assert np.abs(ref - np.moveaxis(goti, 1, 0)).max() \
+            / np.abs(ref).max() < 1e-5, "pallas interleaved spmm parity"
+        ms = marginal_ms(chain_fn(
+            lambda v, d: grid_dia_matmat_interleaved_pallas(
+                diam._replace(data=d), v),
+            Xi, diam.data), 10, 60, reps=5)
+        emit_spmm_rows(f"griddia_cyclic_ilv_pallas_{nn}sq_x8", mc.nnz, ms,
+                       len(diam.shifts), 8, nn, nn)
+
 
 if __name__ == "__main__":
     sections = sys.argv[1:] or [

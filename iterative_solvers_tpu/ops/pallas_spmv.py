@@ -332,6 +332,155 @@ def grid_dia_matmat_pallas(a: GridDIA, x3, block_rows: int = 32):
                           wrap_rows=a.cyclic)(x3, a.data)
 
 
+def grid_dia_matmat_interleaved_pallas(a: GridDIA, xi, block_rows: int = 32):
+    """``Y = A @ X`` with the rhs stack in ROW-INTERLEAVED layout
+    ``(ny, nrhs, nx)`` (VERDICT r4 item 3).
+
+    The ``(nrhs, ny, nx)`` layout of :func:`grid_dia_matmat_pallas` makes
+    every slab load/store a *strided* DMA — nrhs separate (bm, nx) chunks
+    with a ``ny*nx`` element stride between them — which the r4 suite
+    measured at 371 Gnnz/s at 2048² x8 (~0.49 of the actual-traffic peak).
+    Interleaving the rhs axis *inside* the row axis makes the slab for rows
+    [start-H, start+bm+H) one contiguous ``(bm+2H, nrhs, nx)`` burst: the
+    same 3 DMAs per chunk as the matvec kernel, each fully sequential.
+
+    Block Krylov callers keep their vectors in this layout permanently
+    (``jnp.moveaxis(x, 0, 1)`` once at entry if needed); per-rhs reductions
+    are sums over axes (0, 2), unchanged cost.  Falls back to the
+    per-rhs XLA path (via transposes) off-TPU or when ineligible.
+    """
+    ny, nrhs, nx = xi.shape
+    assert a.grid == (ny, nx)
+    max_dy = max((abs(dy) for dy, _ in a.shifts), default=0)
+    if (not _on_tpu() or xi.dtype != jnp.float32
+            or a.data.dtype != jnp.float32
+            or ny % block_rows or ny < 2 * block_rows or max_dy > _HALO):
+        x3 = jnp.moveaxis(xi, 1, 0)
+        return jnp.moveaxis(
+            jnp.stack([a._apply(x3[r]) for r in range(nrhs)]), 0, 1)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bm = block_rows
+    shifts = a.shifts
+    nchunks = ny // bm
+    wrap_rows = a.cyclic
+
+    def compute(slab, dchunk):
+        # slab: (bm + 2H, nrhs, nx); one lane roll per distinct dx serves
+        # every rhs and every term sharing that dx
+        rolled = {0: slab}
+        for _, dx in shifts:
+            s = (-dx) % nx
+            if s and s not in rolled:
+                rolled[s] = pltpu.roll(slab, shift=jnp.int32(s), axis=2)
+        acc = jnp.zeros((bm, nrhs, nx), jnp.float32)
+        for k, (dy, dx) in enumerate(shifts):
+            rows = rolled[(-dx) % nx][_HALO + dy:_HALO + dy + bm, :, :]
+            acc = acc + dchunk[k][:, None, :] * rows
+        return acc
+
+    def kernel(x_hbm, d_hbm, out_hbm, xs, ds, outs, x_sems, d_sems, out_sems):
+        def x_copies(slot, idx):
+            start = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+            mid = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, bm), :, :],
+                xs.at[slot, pl.ds(_HALO, bm), :, :],
+                x_sems.at[slot, jnp.int32(0)],
+            )
+            top_src = pl.multiple_of(
+                jnp.where(idx == 0,
+                          jnp.int32(ny - _HALO if wrap_rows else 0),
+                          start - jnp.int32(_HALO)), _HALO)
+            top = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(top_src, _HALO), :, :],
+                xs.at[slot, pl.ds(0, _HALO), :, :],
+                x_sems.at[slot, jnp.int32(1)],
+            )
+            bot_src = pl.multiple_of(
+                jnp.where(idx == nchunks - 1,
+                          jnp.int32(0 if wrap_rows else ny - _HALO),
+                          start + jnp.int32(bm)), _HALO)
+            bot = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(bot_src, _HALO), :, :],
+                xs.at[slot, pl.ds(_HALO + bm, _HALO), :, :],
+                x_sems.at[slot, jnp.int32(2)],
+            )
+            return (mid, top, bot)
+
+        def d_copy(slot, idx):
+            start = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+            return pltpu.make_async_copy(
+                d_hbm.at[:, pl.ds(start, bm), :], ds.at[slot],
+                d_sems.at[slot])
+
+        def out_copy(slot, idx):
+            dst = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+            return pltpu.make_async_copy(
+                outs.at[slot], out_hbm.at[pl.ds(dst, bm), :, :],
+                out_sems.at[slot])
+
+        for c in x_copies(jnp.int32(0), jnp.int32(0)):
+            c.start()
+        d_copy(jnp.int32(0), jnp.int32(0)).start()
+
+        def body(idx, _):
+            slot = lax.rem(idx, jnp.int32(2))
+            nslot = lax.rem(idx + jnp.int32(1), jnp.int32(2))
+
+            @pl.when(idx + 1 < nchunks)
+            def _():
+                for c in x_copies(nslot, idx + jnp.int32(1)):
+                    c.start()
+                d_copy(nslot, idx + jnp.int32(1)).start()
+
+            for c in x_copies(slot, idx):
+                c.wait()
+            d_copy(slot, idx).wait()
+
+            @pl.when(idx >= 2)
+            def _():
+                out_copy(slot, idx - jnp.int32(2)).wait()
+
+            outs[slot] = compute(xs[slot], ds[slot])
+            out_copy(slot, idx).start()
+            return jnp.int32(0)
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), body, jnp.int32(0))
+
+        @pl.when(jnp.int32(nchunks) >= 2)
+        def _():
+            out_copy(jnp.int32(nchunks % 2), jnp.int32(nchunks - 2)).wait()
+        out_copy(jnp.int32((nchunks - 1) % 2), jnp.int32(nchunks - 1)).wait()
+
+    itemsize = 4
+    scratch_bytes = ((2 * nrhs * (bm + 2 * _HALO) + 2 * len(shifts) * bm
+                      + 2 * nrhs * bm) * nx * itemsize)
+    vmem_limit = int(1.6 * scratch_bytes) + 16 * 1024 * 1024
+
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((ny, nrhs, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, bm + 2 * _HALO, nrhs, nx), jnp.float32),
+            pltpu.VMEM((2, len(shifts), bm, nx), jnp.float32),
+            pltpu.VMEM((2, bm, nrhs, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit,
+        ),
+    )(xi, a.data)
+
+
 def dia_flat_matvec_pallas(a: DIA, grid: tuple[int, int], x,
                            block_rows: int = 64):
     """``y = A @ x`` for a row-aligned flat DIA matrix viewed on a

@@ -256,9 +256,18 @@ def test_pallas_spmm_fallback_matches_scipy():
     n = 24
     m = sh_operator(n, 0.7, 0.01)
     X = RNG.standard_normal((3, n * n))
+    from iterative_solvers_tpu.ops.pallas_spmv import (
+        grid_dia_matmat_interleaved_pallas,
+    )
+
     for cyclic in (True, False):
         a = GridDIA.from_scipy(m, (n, n), cyclic=cyclic)
         got = np.asarray(grid_dia_matmat_pallas(
             a, jnp.array(X.reshape(3, n, n))))
         want = (m @ X.T).T.reshape(3, n, n)
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+        # row-interleaved layout (ny, nrhs, nx): same product, transposed
+        xi = jnp.array(np.moveaxis(X.reshape(3, n, n), 0, 1))
+        goti = np.asarray(grid_dia_matmat_interleaved_pallas(a, xi))
+        np.testing.assert_allclose(np.moveaxis(goti, 1, 0), want,
+                                   rtol=1e-12, atol=1e-9)

@@ -115,6 +115,21 @@ def main():
     check("spmm_cyclic_parity", rel_err(got, want) < 1e-5,
           f"{rel_err(got, want):.2e}")
 
+    # row-interleaved SpMM (contiguous slab DMAs — VERDICT r4 item 3)
+    from iterative_solvers_tpu.ops.pallas_spmv import (
+        grid_dia_matmat_interleaved_pallas,
+    )
+
+    xi = jnp.moveaxis(x3, 0, 1)
+    assert_kernel_in_hlo("spmm_interleaved",
+                         lambda d, v: grid_dia_matmat_interleaved_pallas(
+                             diac._replace(data=d), v), diac.data, xi)
+    goti = jax.jit(lambda d, v: grid_dia_matmat_interleaved_pallas(
+        diac._replace(data=d), v))(diac.data, xi)
+    check("spmm_interleaved_parity",
+          rel_err(jnp.moveaxis(goti, 1, 0), want) < 1e-5,
+          f"{rel_err(jnp.moveaxis(goti, 1, 0), want):.2e}")
+
     mb = (biharmonic_dirichlet(n + 1, 2.0) * 0.2).astype(np.float32)
     bgrid = GridDIA.from_scipy(mb, (n, n))
     xb = jnp.array(rng.standard_normal(n * n), jnp.float32)
