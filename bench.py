@@ -39,7 +39,9 @@ from iterative_solvers_tpu.io import fixtures as fx  # noqa: E402
 from iterative_solvers_tpu.models import droplet as dp  # noqa: E402
 
 BASELINE_MS = 990.0  # BASELINE.md rows 2-3 (composed reference step)
-K_SHORT, K_LONG = 1, 5
+# r4 verdict item 4: the 1-vs-5-step marginal at reps=3 wandered 55-60 ms
+# across runs; a longer chain and more reps tighten the committed number
+K_SHORT, K_LONG = 2, 10
 FIXTURE = ("/root/reference/python_work/"
            "initdrop_coal_1_91-61_100_0.005_0.01_0.1_0.15.txt")
 
@@ -65,7 +67,7 @@ def main():
 
     jf = jax.jit(chain, static_argnums=2)
 
-    def timed(k, reps=3):
+    def timed(k, reps=7):
         s, conv, worst = jf(u0, q0, k)
         float(s)  # warmup + compile
         assert bool(conv), f"JFNK failed f_tol=1e-7 (worst {float(worst):.2e})"

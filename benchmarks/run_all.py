@@ -615,6 +615,30 @@ def bench_spmv():
     emit_dia_kernel_rows("griddia_pallas_dirichlet_4096sq", md4.nnz, ms,
                          len(lgrid4.shifts), nd4, nd4)
 
+    # VERDICT r4 item 7: the 4096² row's fraction is a conservative floor
+    # (only the 336 MB coefficient array provably streams; the 67 MB x/y
+    # may be VMEM-served across the chain).  Measure the SAME kernel where
+    # EVERY buffer individually exceeds VMEM — 8192²: coef 1.34 GB, x/y
+    # 268 MB each — so the emitted fraction counts measured traffic, not a
+    # floor (size-sweep method).
+    nd8 = 8192
+    md8 = (_l5(nd8 + 1, 2.0) * 0.2).astype(np.float32)
+    lgrid8 = GridDIA.from_scipy(md8, (nd8, nd8))
+    xd8 = jnp.array(np.random.default_rng(7).standard_normal((nd8, nd8)),
+                    dtype=jnp.float32)
+    got = np.asarray(jax.jit(
+        lambda d, v: grid_dia_matvec_pallas(lgrid8._replace(data=d), v))(
+        lgrid8.data, xd8))
+    ref = np.asarray(jax.jit(
+        lambda d, v: lgrid8._replace(data=d)._apply(v))(lgrid8.data, xd8))
+    assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
+        "griddia dirichlet 8192 parity"
+    ms = marginal_ms(chain_fn(
+        lambda v, d: grid_dia_matvec_pallas(lgrid8._replace(data=d), v),
+        xd8, lgrid8.data), 10, 60, reps=5)
+    emit_dia_kernel_rows("griddia_pallas_dirichlet_8192sq", md8.nnz, ms,
+                         len(lgrid8.shifts), nd8, nd8)
+
     # SpMM: 8 right-hand sides.  XLA matmat row (re-reads the coefficient
     # fields per rhs — kept as the comparison point) ...
     X = jnp.array(
