@@ -164,7 +164,7 @@ def main():
         out_path.write_text("")  # truncate the jsonl for a fresh run
 
     def body(carry, _):
-        uu, qq, dt_c, t_c = carry
+        uu, qq, dt_c, t_c, u_prev, dt_prev = carry
 
         def attempt_cond(s):
             _, _, k, ok = s
@@ -174,7 +174,14 @@ def main():
             _, dtk, k, _ = s
             dtk = jnp.where(k > 0, dtk * 0.5, dtk)
             dtm = jnp.minimum(pseudo_ratio * dtk / pma_loops, dtmesh_cap)
-            out = step(uu, qq, dtk, dtm)
+            # trajectory-extrapolation predictor: first-order continuation
+            # of the converged trajectory (NOT an explicit step — no
+            # high-k instability), clamped above the precursor floor;
+            # dt_prev = 0 marks no history (resume/first step)
+            r = jnp.where(dt_prev > 0, dtk / jnp.maximum(dt_prev, 1e-300),
+                          0.0)
+            x0 = jnp.maximum(uu + r * (uu - u_prev), 0.25 * cfg.epsilon)
+            out = step(uu, qq, dtk, dtm, x0=x0)
             ok = (out.converged & jnp.all(jnp.isfinite(out.u))
                   & jnp.all(jnp.isfinite(out.q)))
             return (out, dtk, k + 1, ok)
@@ -198,12 +205,15 @@ def main():
                                 (1.0 + growth) / 2.0, 1.0))
         dt_next = jnp.clip(jnp.where(ok, dt_used * g, dt_used), 1e-12, dt_max)
         t_n = t_c + jnp.where(ok, dt_used, 0.0)
-        return (u_n, q_n, dt_next, t_n), (
+        u_prev_n = jnp.where(ok, uu, u_prev)
+        dt_prev_n = jnp.where(ok, dt_used, dt_prev)
+        return (u_n, q_n, dt_next, t_n, u_prev_n, dt_prev_n), (
             out.newton_iters, out.f_norm, ok, attempts, dt_used, t_n, r_eff,
             msp)
 
     jf = jax.jit(lambda c: lax.scan(body, c, None, length=chunk))
-    carry = (u, q, jnp.asarray(dt, jnp.float64), jnp.asarray(t, jnp.float64))
+    carry = (u, q, jnp.asarray(dt, jnp.float64), jnp.asarray(t, jnp.float64),
+             u, jnp.asarray(0.0, jnp.float64))
 
     t_wall = time.time()
     steps_done = step0
@@ -224,7 +234,7 @@ def main():
                     "min_spacing": float(msps[i]),
                 }) + "\n")
         steps_done += chunk
-        uu, qq, dt_c, t_c = carry
+        uu, qq, dt_c, t_c = carry[:4]
         if save:
             ckpt.save_sharded(ck_dir, {"u": uu, "q": qq}, config=cfg,
                               step=steps_done, time=float(t_c))

@@ -453,10 +453,14 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
     geometry_fn = (curvilinear.mesh_geometry_dev if deviation_form
                    else curvilinear.mesh_geometry)
 
-    def step(u, q, dt_n, dtmesh_n=None):
+    def step(u, q, dt_n, dtmesh_n=None, x0=None):
         # ``dtmesh_n`` (traced) overrides the static ``dtmesh`` — long-run
         # drivers scale the mesh pseudo-step with the adaptive dt_n to hold
-        # the proven mesh-pseudo-time : physical-time ratio as dt grows
+        # the proven mesh-pseudo-time : physical-time ratio as dt grows.
+        # ``x0`` overrides the Newton initial guess (the reference starts
+        # from u_old; long-run drivers pass a trajectory-extrapolation
+        # predictor — at 25-iteration inexact-Newton steps a better start
+        # saves iterations linearly)
         geom = geometry_fn(q, grid)
         F = pde_rhs(u, geom, cfg)
         slv = solver
@@ -490,7 +494,7 @@ def make_step(cfg: DropletConfig, dt: float, dtmesh: float, pma_loops: int,
         else:
             res_fn = partial(cn_residual, u_old=u, F=F, dt=dt_n, geom=geom,
                              cfg=cfg)
-        res = slv.solve(res_fn, u)
+        res = slv.solve(res_fn, u if x0 is None else x0)
         # reference ordering: loop_pma's monitor is driven by the *old*
         # solution — U.val is only replaced at the top of the next step
         # (droplet.py:373,384; compute_u_spatial_ders reads U.val)
