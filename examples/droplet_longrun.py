@@ -29,6 +29,7 @@ Usage:
   python examples/droplet_longrun.py [n] [max_steps] [key=val ...]
     keys: chunk, dt0, dt_max, growth, f_tol, maxiter, inner_m, outer_k,
           inner_maxiter, pma_loops, t_stop, r_stop, monitor_cap (0 = off),
+          dfres (1 = two-f32 outer residuals),
           fresh (1 = ignore existing checkpoint), tag,
           from_tag (A/B probes: resume from another tag's checkpoint
           without touching it — pair with save=0), save (0 = no
@@ -119,7 +120,8 @@ def main():
         inner_dtype="float32", max_backtracks=4)
     step = dp.make_step(
         cfg, dt=dt0, dtmesh=dtmesh_cap, pma_loops=pma_loops, solver=solver,
-        deviation_form=True, jvp_dtype="float32", jvp_kernel=True)
+        deviation_form=True, jvp_dtype="float32", jvp_kernel=True,
+        residual_mode="df64" if o.get("dfres", "0") == "1" else "f64")
 
     ck_dir = BENCH / f"longrun_{o.get('from_tag', tag)}_ckpt"
     side = ck_dir / "carry.json"
