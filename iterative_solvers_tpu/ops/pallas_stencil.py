@@ -67,12 +67,21 @@ def _lap_rows(s, inv_h2, lo, hi):
 
 
 def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
-                             slots: int = 2):
+                             slots: int = 2, streams: int = 1):
     """Slab pipeline: ``compute((bm + 2*HALO, n) slab) -> (bm, n) block``,
     ``slots``-deep buffered on both the input loads and the output stores
     (2 = classic double buffering; deeper keeps more DMAs in flight, which
     hides per-chunk DMA latency at HBM-streaming sizes where the 2-slot
     pipeline measured only ~320 GB/s of the ~670 achievable).
+
+    ``streams`` processes that many grid sections concurrently — each body
+    iteration loads/computes/stores one chunk of EVERY section, so the
+    DMA engines see ``streams`` independent load streams and ``streams``
+    store streams.  Motivation (r5 stream ladder, tools/stream_ladder.py):
+    a single load stream pins at ~half the chip's aggregate bandwidth
+    while the 14-stream SpMV pipeline and the read+write-overlapped copy
+    kernel reach ~700+ GB/s — the few-stream kernels' gap is stream
+    COUNT, not queue depth.
 
     The VMEM limit is derived from the actual scratch footprint rather than
     hardcoded, so larger ``block_rows``/``slots`` requests compile instead
@@ -81,54 +90,61 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nchunks = n_rows // bm
+    nchunks_total = n_rows // bm
+    assert nchunks_total % streams == 0
+    nchunks = nchunks_total // streams  # loop trip count (chunks per stream)
     slots = min(slots, nchunks)
     itemsize = jnp.dtype(dtype).itemsize
-    scratch_bytes = (slots * (bm + 2 * _HALO) + slots * bm) * n_cols * itemsize
+    scratch_bytes = (streams * (slots * (bm + 2 * _HALO) + slots * bm)
+                     * n_cols * itemsize)
     # Mosaic's scoped-vmem accounting also charges the compute body's
     # intermediates (~4 block-sized temps for the fused double Laplacian),
     # so budget 2.5x the declared scratch plus fixed slack.
     vmem_limit = int(2.5 * scratch_bytes) + 8 * 1024 * 1024
 
     def kernel(u_hbm, out_hbm, slabs, outs, in_sems, out_sems):
-        def in_copies(slot, idx):
-            """Rows [idx*bm - HALO, idx*bm + bm + HALO) of u, periodic wrap,
-            into slabs[slot].  Wrap only triggers at the first/last chunk
-            because bm >= HALO."""
-            start = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+        def in_copies(st, slot, idx):
+            """Rows [gidx*bm - HALO, gidx*bm + bm + HALO) of u (periodic
+            wrap) into slabs[st, slot], where gidx = st*nchunks + idx.
+            Wrap only triggers at the global first/last chunk because
+            bm >= HALO."""
+            gidx = jnp.int32(st * nchunks) + idx
+            start = pl.multiple_of(gidx * jnp.int32(bm), _HALO)
             mid = pltpu.make_async_copy(
                 u_hbm.at[pl.ds(start, bm), :],
-                slabs.at[slot, pl.ds(_HALO, bm), :],
-                in_sems.at[slot, jnp.int32(0)],
+                slabs.at[st, slot, pl.ds(_HALO, bm), :],
+                in_sems.at[st, slot, jnp.int32(0)],
             )
             top_src = pl.multiple_of(
-                jnp.where(idx == 0, jnp.int32(n_rows - _HALO),
+                jnp.where(gidx == 0, jnp.int32(n_rows - _HALO),
                           start - jnp.int32(_HALO)), _HALO)
             top = pltpu.make_async_copy(
                 u_hbm.at[pl.ds(top_src, _HALO), :],
-                slabs.at[slot, pl.ds(0, _HALO), :],
-                in_sems.at[slot, jnp.int32(1)],
+                slabs.at[st, slot, pl.ds(0, _HALO), :],
+                in_sems.at[st, slot, jnp.int32(1)],
             )
             bot_src = pl.multiple_of(
-                jnp.where(idx == nchunks - 1, jnp.int32(0),
+                jnp.where(gidx == nchunks_total - 1, jnp.int32(0),
                           start + jnp.int32(bm)), _HALO)
             bot = pltpu.make_async_copy(
                 u_hbm.at[pl.ds(bot_src, _HALO), :],
-                slabs.at[slot, pl.ds(_HALO + bm, _HALO), :],
-                in_sems.at[slot, jnp.int32(2)],
+                slabs.at[st, slot, pl.ds(_HALO + bm, _HALO), :],
+                in_sems.at[st, slot, jnp.int32(2)],
             )
             return (mid, top, bot)
 
-        def out_copy(slot, idx):
-            dst = pl.multiple_of(idx * jnp.int32(bm), _HALO)
+        def out_copy(st, slot, idx):
+            gidx = jnp.int32(st * nchunks) + idx
+            dst = pl.multiple_of(gidx * jnp.int32(bm), _HALO)
             return pltpu.make_async_copy(
-                outs.at[slot], out_hbm.at[pl.ds(dst, bm), :],
-                out_sems.at[slot],
+                outs.at[st, slot], out_hbm.at[pl.ds(dst, bm), :],
+                out_sems.at[st, slot],
             )
 
         for j in range(slots - 1):  # warm-up: slots-1 chunks in flight
-            for c in in_copies(jnp.int32(j), jnp.int32(j)):
-                c.start()
+            for st in range(streams):
+                for c in in_copies(st, jnp.int32(j), jnp.int32(j)):
+                    c.start()
 
         def body(idx, _):
             slot = lax.rem(idx, jnp.int32(slots))
@@ -136,25 +152,30 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
 
             @pl.when(idx + (slots - 1) < nchunks)
             def _():
-                for c in in_copies(nslot, idx + jnp.int32(slots - 1)):
-                    c.start()
+                for st in range(streams):
+                    for c in in_copies(st, nslot, idx + jnp.int32(slots - 1)):
+                        c.start()
 
-            for c in in_copies(slot, idx):
-                c.wait()
+            for st in range(streams):
+                for c in in_copies(st, slot, idx):
+                    c.wait()
 
-            # outs[slot] still streaming to HBM from ``slots`` chunks ago
+            # outs[st, slot] still streaming to HBM from ``slots`` ago
             @pl.when(idx >= slots)
             def _():
-                out_copy(slot, idx - jnp.int32(slots)).wait()
+                for st in range(streams):
+                    out_copy(st, slot, idx - jnp.int32(slots)).wait()
 
-            outs[slot] = compute(slabs[slot])
-            out_copy(slot, idx).start()
+            for st in range(streams):
+                outs[st, slot] = compute(slabs[st, slot])
+                out_copy(st, slot, idx).start()
             return jnp.int32(0)
 
         lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), body, jnp.int32(0))
 
         for j in range(max(0, nchunks - slots), nchunks):  # drain stores
-            out_copy(jnp.int32(j % slots), jnp.int32(j)).wait()
+            for st in range(streams):
+                out_copy(st, jnp.int32(j % slots), jnp.int32(j)).wait()
 
     return pl.pallas_call(
         kernel,
@@ -163,10 +184,10 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
         scratch_shapes=[
-            pltpu.VMEM((slots, bm + 2 * _HALO, n_cols), dtype),
-            pltpu.VMEM((slots, bm, n_cols), dtype),
-            pltpu.SemaphoreType.DMA((slots, 3)),
-            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.VMEM((streams, slots, bm + 2 * _HALO, n_cols), dtype),
+            pltpu.VMEM((streams, slots, bm, n_cols), dtype),
+            pltpu.SemaphoreType.DMA((streams, slots, 3)),
+            pltpu.SemaphoreType.DMA((streams, slots)),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
@@ -188,13 +209,15 @@ def _pallas_eligible(u, block_rows: int) -> bool:
 
 
 def lap_periodic_pallas(u, h: float, block_rows: int = 128,
-                        slots: int = 2):
+                        slots: int = 2, streams: int = 1):
     """Buffered blocked periodic Laplacian (0.77 useful-byte fraction at
-    4096² f32 on v5e; ``slots`` deepens the DMA pipeline — see
-    _double_buffered_stencil).  Falls back to jnp off-TPU, for non-f32
+    4096² f32 on v5e; ``slots`` deepens the DMA pipeline, ``streams``
+    processes that many grid sections as concurrent load/store streams —
+    see _double_buffered_stencil).  Falls back to jnp off-TPU, for non-f32
     dtypes, or when the grid is too small to block."""
     n_rows, n_cols = u.shape
-    if not _pallas_eligible(u, block_rows):
+    if (not _pallas_eligible(u, block_rows)
+            or (n_rows // block_rows) % streams):
         return stencils.lap_periodic(u, h)
 
     bm = block_rows
@@ -204,7 +227,7 @@ def lap_periodic_pallas(u, h: float, block_rows: int = 128,
         return _lap_rows(s, inv_h2, _HALO, _HALO + bm)
 
     return _double_buffered_stencil(n_rows, n_cols, bm, compute, u.dtype,
-                                    slots=slots)(u)
+                                    slots=slots, streams=streams)(u)
 
 
 def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128):
