@@ -109,6 +109,7 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
             Wrap only triggers at the global first/last chunk because
             bm >= HALO."""
             gidx = jnp.int32(st * nchunks) + idx
+            st = jnp.int32(st)  # python int -> i64 under x64 breaks Mosaic
             start = pl.multiple_of(gidx * jnp.int32(bm), _HALO)
             mid = pltpu.make_async_copy(
                 u_hbm.at[pl.ds(start, bm), :],
@@ -135,6 +136,7 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
 
         def out_copy(st, slot, idx):
             gidx = jnp.int32(st * nchunks) + idx
+            st = jnp.int32(st)
             dst = pl.multiple_of(gidx * jnp.int32(bm), _HALO)
             return pltpu.make_async_copy(
                 outs.at[st, slot], out_hbm.at[pl.ds(dst, bm), :],
@@ -167,7 +169,8 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
                     out_copy(st, slot, idx - jnp.int32(slots)).wait()
 
             for st in range(streams):
-                outs[st, slot] = compute(slabs[st, slot])
+                sti = jnp.int32(st)
+                outs[sti, slot] = compute(slabs[sti, slot])
                 out_copy(st, slot, idx).start()
             return jnp.int32(0)
 
