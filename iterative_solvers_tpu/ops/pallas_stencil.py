@@ -93,6 +93,9 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
     nchunks_total = n_rows // bm
     assert nchunks_total % streams == 0
     nchunks = nchunks_total // streams  # loop trip count (chunks per stream)
+    # chunk 0 (the only top-wrap chunk) must be loaded by the static
+    # warm-up, which requires at least one warm-up iteration per stream
+    assert nchunks >= 2, "need >= 2 chunks per stream for the fused load"
     slots = min(slots, nchunks)
     itemsize = jnp.dtype(dtype).itemsize
     scratch_bytes = (streams * (slots * (bm + 2 * _HALO) + slots * bm)
@@ -104,25 +107,27 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
 
     def kernel(u_hbm, out_hbm, slabs, outs, in_sems, out_sems):
         def in_copies(st, slot, idx):
-            """Rows [gidx*bm - HALO, gidx*bm + bm + HALO) of u (periodic
-            wrap) into slabs[st, slot], where gidx = st*nchunks + idx.
-            Wrap only triggers at the global first/last chunk because
-            bm >= HALO."""
+            """Rows [gidx*bm - HALO, gidx*bm + bm + HALO) of u into
+            slabs[st, slot], where gidx = st*nchunks + idx, as ONE fused
+            contiguous (HALO+bm)-row DMA (top halo + mid) plus one HALO-row
+            bottom-halo DMA (whose source wraps to row 0 at the global last
+            chunk).  Valid for every chunk except global chunk 0, whose top
+            halo wraps to the END of u — that chunk is only ever loaded in
+            the static warm-up, which uses :func:`chunk0_copies` instead.
+
+            The fused load is the r5 fix for the few-stream streaming
+            ceiling: the 3-DMA halo split (mid + two 8-row strips) pinned
+            the pipeline at ~320-340 GB/s at genuinely-streaming sizes
+            while the ladder's no-halo copy kernel reached 400-470
+            (tools/stream_ladder.py; PARITY.md r5 section)."""
             gidx = jnp.int32(st * nchunks) + idx
             st = jnp.int32(st)  # python int -> i64 under x64 breaks Mosaic
             start = pl.multiple_of(gidx * jnp.int32(bm), _HALO)
-            mid = pltpu.make_async_copy(
-                u_hbm.at[pl.ds(start, bm), :],
-                slabs.at[st, slot, pl.ds(_HALO, bm), :],
+            top_start = pl.multiple_of(start - jnp.int32(_HALO), _HALO)
+            main = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(top_start, _HALO + bm), :],
+                slabs.at[st, slot, pl.ds(0, _HALO + bm), :],
                 in_sems.at[st, slot, jnp.int32(0)],
-            )
-            top_src = pl.multiple_of(
-                jnp.where(gidx == 0, jnp.int32(n_rows - _HALO),
-                          start - jnp.int32(_HALO)), _HALO)
-            top = pltpu.make_async_copy(
-                u_hbm.at[pl.ds(top_src, _HALO), :],
-                slabs.at[st, slot, pl.ds(0, _HALO), :],
-                in_sems.at[st, slot, jnp.int32(1)],
             )
             bot_src = pl.multiple_of(
                 jnp.where(gidx == nchunks_total - 1, jnp.int32(0),
@@ -130,9 +135,31 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
             bot = pltpu.make_async_copy(
                 u_hbm.at[pl.ds(bot_src, _HALO), :],
                 slabs.at[st, slot, pl.ds(_HALO + bm, _HALO), :],
-                in_sems.at[st, slot, jnp.int32(2)],
+                in_sems.at[st, slot, jnp.int32(1)],
             )
-            return (mid, top, bot)
+            return (main, bot)
+
+        def chunk0_copies():
+            """Global chunk 0 (stream 0, slot 0): its top halo wraps to the
+            last HALO rows of u, so the fused load splits into wrap-top +
+            mid; the bottom halo is the regular strip."""
+            z = jnp.int32(0)
+            top = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(jnp.int32(n_rows - _HALO), _HALO), :],
+                slabs.at[z, z, pl.ds(0, _HALO), :],
+                in_sems.at[z, z, jnp.int32(0)],
+            )
+            mid = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(0, bm), :],
+                slabs.at[z, z, pl.ds(_HALO, bm), :],
+                in_sems.at[z, z, jnp.int32(2)],
+            )
+            bot = pltpu.make_async_copy(
+                u_hbm.at[pl.ds(jnp.int32(bm), _HALO), :],
+                slabs.at[z, z, pl.ds(_HALO + bm, _HALO), :],
+                in_sems.at[z, z, jnp.int32(1)],
+            )
+            return (top, mid, bot)
 
         def out_copy(st, slot, idx):
             gidx = jnp.int32(st * nchunks) + idx
@@ -145,7 +172,9 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
 
         for j in range(slots - 1):  # warm-up: slots-1 chunks in flight
             for st in range(streams):
-                for c in in_copies(st, jnp.int32(j), jnp.int32(j)):
+                copies = (chunk0_copies() if st == 0 and j == 0
+                          else in_copies(st, jnp.int32(j), jnp.int32(j)))
+                for c in copies:
                     c.start()
 
         def body(idx, _):
@@ -159,8 +188,21 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
                         c.start()
 
             for st in range(streams):
-                for c in in_copies(st, slot, idx):
-                    c.wait()
+                if st == 0:
+                    # chunk 0 was loaded by the split warm-up copies; its
+                    # waits must match those descriptors exactly
+                    @pl.when(idx == jnp.int32(0))
+                    def _():
+                        for c in chunk0_copies():
+                            c.wait()
+
+                    @pl.when(idx != jnp.int32(0))
+                    def _():
+                        for c in in_copies(0, slot, idx):
+                            c.wait()
+                else:
+                    for c in in_copies(st, slot, idx):
+                        c.wait()
 
             # outs[st, slot] still streaming to HBM from ``slots`` ago
             @pl.when(idx >= slots)
@@ -199,6 +241,154 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
     )
 
 
+def _monotonic_stream_pipeline(n_rows, n_cols, bm, compute, dtype,
+                               slots: int = 3, streams: int = 1):
+    """r5 streaming pipeline: ONE perfectly monotonic contiguous load
+    stream (zero halo DMAs) + one monotonic store stream per grid section.
+
+    Ghost rows come from VMEM instead of HBM re-reads: the top ghost row
+    is carried from the previous chunk's slab at compute time (tiny VMEM
+    copy); the bottom ghost row is read from the NEXT chunk's
+    already-loaded slab (the pipeline runs ``slots-1`` chunks ahead, so at
+    compute time of chunk *i* the load of chunk *i+1* has been waited);
+    the wrap rows at the global top/bottom of each section are fetched
+    once into small persistent buffers at warm-up.
+
+    Motivation (tools/stream_ladder.py + the r5 fused-load negative
+    result): halo'd slab pipelines pin at ~320-340 GB/s at
+    genuinely-streaming sizes regardless of block size, queue depth,
+    stream count, DMA fusion, or compute, while the ladder's no-halo copy
+    kernel — exactly this stream structure — sustains 400-470 GB/s.  The
+    halo'd *read pattern* (overlapping re-reads + per-chunk address
+    back-jumps), not the DMA count, is the constraint.
+
+    ``compute(slab, top_ghost, bot_ghost) -> (bm, n_cols)`` where slab
+    holds exactly rows [gidx*bm, gidx*bm + bm) and the ghosts are
+    ``(1, n_cols)`` rows above/below.  Supports ghost depth 1 (5-point
+    stencils); deeper stencils stay on :func:`_double_buffered_stencil`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nchunks_total = n_rows // bm
+    assert nchunks_total % streams == 0
+    nchunks = nchunks_total // streams
+    assert nchunks >= 2, "need >= 2 chunks per stream"
+    slots = min(slots, nchunks)
+    itemsize = jnp.dtype(dtype).itemsize
+    scratch_bytes = (streams * (2 * slots * bm + 2 * _HALO)
+                     * n_cols * itemsize)
+    vmem_limit = int(2.5 * scratch_bytes) + 8 * 1024 * 1024
+
+    def kernel(u_hbm, out_hbm, slabs, outs, carry, wrap,
+               in_sems, out_sems, aux_sems):
+        def load(st, slot, idx):
+            gidx = jnp.int32(st * nchunks) + idx
+            st = jnp.int32(st)  # python int -> i64 under x64 breaks Mosaic
+            start = pl.multiple_of(gidx * jnp.int32(bm), _HALO)
+            return pltpu.make_async_copy(
+                u_hbm.at[pl.ds(start, bm), :],
+                slabs.at[st, slot],
+                in_sems.at[st, slot],
+            )
+
+        def store(st, slot, idx):
+            gidx = jnp.int32(st * nchunks) + idx
+            st = jnp.int32(st)
+            dst = pl.multiple_of(gidx * jnp.int32(bm), _HALO)
+            return pltpu.make_async_copy(
+                outs.at[st, slot], out_hbm.at[pl.ds(dst, bm), :],
+                out_sems.at[st, slot],
+            )
+
+        # one-time wrap fetches: rows [sec_start - HALO, sec_start) (top,
+        # ghost row = last) and [sec_end, sec_end + HALO) (bottom, ghost
+        # row = first), both mod n_rows — 8-row strips for DMA alignment
+        aux = []
+        for st in range(streams):
+            sti = jnp.int32(st)
+            top_src = (st * nchunks * bm - _HALO) % n_rows
+            aux.append(pltpu.make_async_copy(
+                u_hbm.at[pl.ds(jnp.int32(top_src), _HALO), :],
+                carry.at[sti], aux_sems.at[sti, jnp.int32(0)]))
+            bot_src = ((st + 1) * nchunks * bm) % n_rows
+            aux.append(pltpu.make_async_copy(
+                u_hbm.at[pl.ds(jnp.int32(bot_src), _HALO), :],
+                wrap.at[sti], aux_sems.at[sti, jnp.int32(1)]))
+        for c in aux:
+            c.start()
+        for j in range(slots - 1):  # warm-up: slots-1 chunks in flight
+            for st in range(streams):
+                load(st, jnp.int32(j), jnp.int32(j)).start()
+        for c in aux:
+            c.wait()
+        for st in range(streams):  # chunk 0 waited here; j>=1 in the body
+            load(st, jnp.int32(0), jnp.int32(0)).wait()
+
+        def body(idx, _):
+            slot = lax.rem(idx, jnp.int32(slots))
+            nslot = lax.rem(idx + jnp.int32(1), jnp.int32(slots))
+            lslot = lax.rem(idx + jnp.int32(slots - 1), jnp.int32(slots))
+
+            @pl.when(idx + (slots - 1) < nchunks)
+            def _():
+                for st in range(streams):
+                    load(st, lslot, idx + jnp.int32(slots - 1)).start()
+
+            # each load is waited exactly once: chunk 0 at warm-up,
+            # chunk i+1 at body(i)
+            @pl.when(idx + 1 < nchunks)
+            def _():
+                for st in range(streams):
+                    load(st, nslot, idx + jnp.int32(1)).wait()
+
+            @pl.when(idx >= slots)
+            def _():
+                for st in range(streams):
+                    store(st, slot, idx - jnp.int32(slots)).wait()
+
+            last = idx == jnp.int32(nchunks - 1)
+            for st in range(streams):
+                sti = jnp.int32(st)
+                s = slabs[sti, slot]
+                top_ghost = carry[sti, _HALO - 1:_HALO, :]
+                bot_ghost = jnp.where(
+                    last, wrap[sti, 0:1, :], slabs[sti, nslot, 0:1, :])
+                outs[sti, slot] = compute(s, top_ghost, bot_ghost)
+                # carry this chunk's last row for the next chunk's top
+                # ghost (read above happens first — program order)
+                carry[sti, _HALO - 1:_HALO, :] = s[bm - 1:bm, :]
+                store(st, slot, idx).start()
+            return jnp.int32(0)
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(nchunks), body, jnp.int32(0))
+
+        for j in range(max(0, nchunks - slots), nchunks):  # drain stores
+            for st in range(streams):
+                store(st, jnp.int32(j % slots), jnp.int32(j)).wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_cols), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((streams, slots, bm, n_cols), dtype),
+            pltpu.VMEM((streams, slots, bm, n_cols), dtype),
+            pltpu.VMEM((streams, _HALO, n_cols), dtype),
+            pltpu.VMEM((streams, _HALO, n_cols), dtype),
+            pltpu.SemaphoreType.DMA((streams, slots)),
+            pltpu.SemaphoreType.DMA((streams, slots)),
+            pltpu.SemaphoreType.DMA((streams, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=vmem_limit,
+        ),
+    )
+
+
 def _pallas_eligible(u, block_rows: int) -> bool:
     """Static (trace-time) gate for the kernel path: TPU platform, f32 data
     (Mosaic lowering here is f32-only; f64 falls back to the XLA stencils),
@@ -212,19 +402,43 @@ def _pallas_eligible(u, block_rows: int) -> bool:
 
 
 def lap_periodic_pallas(u, h: float, block_rows: int = 128,
-                        slots: int = 2, streams: int = 1):
-    """Buffered blocked periodic Laplacian (0.77 useful-byte fraction at
-    4096² f32 on v5e; ``slots`` deepens the DMA pipeline, ``streams``
-    processes that many grid sections as concurrent load/store streams —
-    see _double_buffered_stencil).  Falls back to jnp off-TPU, for non-f32
-    dtypes, or when the grid is too small to block."""
+                        slots: int = 2, streams: int = 1,
+                        mode: str = "mono"):
+    """Buffered blocked periodic Laplacian.  ``mode="mono"`` (default)
+    runs the r5 monotonic-stream pipeline (no halo DMAs — ghost rows via
+    VMEM carry/look-ahead, see _monotonic_stream_pipeline); ``"halo"``
+    keeps the fused-halo slab pipeline for A/B.  ``slots`` deepens the
+    DMA pipeline, ``streams`` processes that many grid sections as
+    concurrent load/store streams.  Falls back to jnp off-TPU, for
+    non-f32 dtypes, or when the grid is too small to block."""
     n_rows, n_cols = u.shape
     if (not _pallas_eligible(u, block_rows)
-            or (n_rows // block_rows) % streams):
+            or (n_rows // block_rows) % streams
+            or (n_rows // block_rows) // streams < 2):
         return stencils.lap_periodic(u, h)
 
     bm = block_rows
     inv_h2 = 1.0 / (h * h)
+
+    if mode == "mono":
+        from jax import lax as _lax
+        from jax.experimental.pallas import tpu as pltpu
+
+        def compute(s, top_ghost, bot_ghost):
+            rows = _lax.broadcasted_iota(jnp.int32, (bm, n_cols), 0)
+            up = jnp.where(rows == jnp.int32(0),
+                           jnp.broadcast_to(top_ghost, (bm, n_cols)),
+                           pltpu.roll(s, shift=jnp.int32(1), axis=0))
+            down = jnp.where(rows == jnp.int32(bm - 1),
+                             jnp.broadcast_to(bot_ghost, (bm, n_cols)),
+                             pltpu.roll(s, shift=jnp.int32(bm - 1), axis=0))
+            left = _roll_lanes(s, 1)
+            right = _roll_lanes(s, -1)
+            return (up + down + left + right - 4.0 * s) * inv_h2
+
+        return _monotonic_stream_pipeline(
+            n_rows, n_cols, bm, compute, u.dtype,
+            slots=max(slots, 3), streams=streams)(u)
 
     def compute(s):
         return _lap_rows(s, inv_h2, _HALO, _HALO + bm)
