@@ -11,6 +11,7 @@ Baselines (BASELINE.md, survey host CPU):
   pma_loop_iter        2.1 ms/iter       (91x61, droplet monitor chain)
   poisson_999          51.6 s            (spsolve, 999^2 unknowns)
 """
+import functools
 import json
 import pathlib
 import sys
@@ -74,6 +75,35 @@ def chain_fn(op, x0, *arrays):
 
     def f(k):
         return jf(x0, arrays, k)
+
+    f.traced_k = True
+    return f
+
+
+def token_chain_fn(op, u):
+    """Out-of-place chain for marginal_ms: ``out = op(u)`` each iteration
+    with a FIXED input, only an 8-row token of the output carried between
+    iterations (the kernels have has_side_effects=True, so the calls are
+    neither CSE'd nor hoisted despite the loop-invariant input).
+
+    This is the PRODUCTION topology for operator application (Krylov
+    matvec x -> Ax: distinct buffers).  The self-chained ``chain_fn``
+    (v = op(v)) lets XLA alias the carry in-place, so the kernel's HBM
+    load and store streams hit the SAME buffer — measured r5: in-place
+    streaming pins at ~330 GB/s while the identical kernel sustains
+    620-750 GB/s out-of-place (tools/chain_topology_probe.py).  Emit both;
+    the roofline fraction uses this one."""
+    _H = 8
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(x, tok, k):
+        def body(i, t):
+            return op(x)[:_H, :] + t * 0.0
+
+        return lax.fori_loop(0, k, body, tok)
+
+    def f(k):
+        return jnp.sum(chain(u, jnp.zeros((_H, u.shape[1]), u.dtype), k))
 
     f.traced_k = True
     return f
@@ -314,16 +344,30 @@ def bench_pallas_stencils():
 
     # 8192² control: the 4096² in+out working set (128 MB) sits at the VMEM
     # boundary; this row's 512 MB provably streams from HBM, confirming the
-    # 4096² fraction is not VMEM-inflated (see bench_spmv's gating)
+    # 4096² fraction is not VMEM-inflated (see bench_spmv's gating).
+    # Both chain topologies are emitted (r5, tools/chain_topology_probe.py):
+    # "inplace" self-chains v=op(v) — XLA aliases the carry, so load and
+    # store streams hit the same HBM buffer and turnaround pins the rate at
+    # ~330 GB/s; the headline roofline row uses the out-of-place production
+    # topology (x -> Ax, distinct buffers), where the mono-pipeline kernels
+    # sustain 620-750 GB/s.
     n8 = 8192
     u8 = jnp.array(
         np.random.default_rng(2).standard_normal((n8, n8)), dtype=jnp.float32
     )
-    ms = marginal_ms(chain_fn(lambda x: lap_periodic_pallas(x, h_b), u8),
-                     25, 100, reps=5)
-    emit("lap8192_pallas_apply", ms, "ms")
-    emit("lap8192_pallas_roofline_frac",
-         2 * n8 * n8 * 4 / ms / 1e6 / roofline_denominator_gbps(), "x")
+    for name, op8, byts in [
+        ("lap8192_pallas", lambda x: lap_periodic_pallas(x, h_b),
+         2 * n8 * n8 * 4),
+        ("sh8192_pallas", lambda x: sh_operator_pallas(x, h_b, 0.5),
+         2 * n8 * n8 * 4),
+    ]:
+        ms_in = marginal_ms(chain_fn(op8, u8), 25, 100, reps=5)
+        emit(f"{name}_inplace_apply", ms_in, "ms")
+        emit(f"{name}_inplace_gbps", byts / ms_in / 1e6, "GB/s")
+        ms = marginal_ms(token_chain_fn(op8, u8), 25, 100, reps=5)
+        emit(f"{name}_apply", ms, "ms")
+        emit(f"{name}_roofline_frac",
+             byts / ms / 1e6 / roofline_denominator_gbps(), "x")
 
 
 def bench_droplet_jvp():

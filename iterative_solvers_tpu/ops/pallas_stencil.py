@@ -242,7 +242,8 @@ def _double_buffered_stencil(n_rows, n_cols, bm, compute, dtype,
 
 
 def _monotonic_stream_pipeline(n_rows, n_cols, bm, compute, dtype,
-                               slots: int = 3, streams: int = 1):
+                               slots: int = 3, streams: int = 1,
+                               ghost: int = 1):
     """r5 streaming pipeline: ONE perfectly monotonic contiguous load
     stream (zero halo DMAs) + one monotonic store stream per grid section.
 
@@ -264,8 +265,9 @@ def _monotonic_stream_pipeline(n_rows, n_cols, bm, compute, dtype,
 
     ``compute(slab, top_ghost, bot_ghost) -> (bm, n_cols)`` where slab
     holds exactly rows [gidx*bm, gidx*bm + bm) and the ghosts are
-    ``(1, n_cols)`` rows above/below.  Supports ghost depth 1 (5-point
-    stencils); deeper stencils stay on :func:`_double_buffered_stencil`.
+    ``(ghost, n_cols)`` rows above/below (``ghost`` = stencil depth: 1
+    for 5-point, 2 for the fused double Laplacian; must be <= _HALO and
+    <= bm).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -348,16 +350,17 @@ def _monotonic_stream_pipeline(n_rows, n_cols, bm, compute, dtype,
                     store(st, slot, idx - jnp.int32(slots)).wait()
 
             last = idx == jnp.int32(nchunks - 1)
+            g = ghost
             for st in range(streams):
                 sti = jnp.int32(st)
                 s = slabs[sti, slot]
-                top_ghost = carry[sti, _HALO - 1:_HALO, :]
+                top_ghost = carry[sti, _HALO - g:_HALO, :]
                 bot_ghost = jnp.where(
-                    last, wrap[sti, 0:1, :], slabs[sti, nslot, 0:1, :])
+                    last, wrap[sti, 0:g, :], slabs[sti, nslot, 0:g, :])
                 outs[sti, slot] = compute(s, top_ghost, bot_ghost)
-                # carry this chunk's last row for the next chunk's top
+                # carry this chunk's last rows for the next chunk's top
                 # ghost (read above happens first — program order)
-                carry[sti, _HALO - 1:_HALO, :] = s[bm - 1:bm, :]
+                carry[sti, _HALO - g:_HALO, :] = s[bm - g:bm, :]
                 store(st, slot, idx).start()
             return jnp.int32(0)
 
@@ -447,19 +450,53 @@ def lap_periodic_pallas(u, h: float, block_rows: int = 128,
                                     slots=slots, streams=streams)(u)
 
 
-def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128):
-    """Fused L = -Lap^2 - 2 Lap + (r-1) I with a single slab load per chunk
-    (double-Laplacian halo folded into the 8-row aligned strips).  The
-    fusion halves HBM traffic vs two Laplacian passes; the kernel is
-    compute-bound (61% of roofline in min-bytes terms = 1.2x the bandwidth
-    the best possible two-pass implementation could reach; 8.5x the XLA
-    lowering — measured 0.267 ms at 4096² f32 v5e, tools/tune_sh_kernel.py)."""
+def sh_operator_pallas(u, h: float, r: float, block_rows: int = 128,
+                       mode: str = "mono"):
+    """Fused L = -Lap^2 - 2 Lap + (r-1) I with a single slab load per
+    chunk.  The fusion halves HBM traffic vs two Laplacian passes.
+    ``mode="mono"`` (default) runs the r5 monotonic-stream pipeline with
+    a roll/where compute body (the slice-form body costs 12.4 us/chunk
+    on the VPU vs 2.2 for rolls — tools/vpu_rate.py); ``"halo"`` keeps
+    the r2 fused-halo slab pipeline for A/B."""
     n_rows, n_cols = u.shape
     if not _pallas_eligible(u, block_rows):
         return stencils.sh_linear_operator(u, h, r)
 
     bm = block_rows
     inv_h2 = 1.0 / (h * h)
+
+    if mode == "mono":
+        from jax import lax as _lax
+        from jax.experimental.pallas import tpu as pltpu
+
+        def lap_ghosted(x, top1, bot1):
+            """Periodic-in-lanes Laplacian of a (bm, n) block given its
+            (1, n) ghost rows, roll/where form."""
+            rows = _lax.broadcasted_iota(jnp.int32, (bm, n_cols), 0)
+            up = jnp.where(rows == jnp.int32(0),
+                           jnp.broadcast_to(top1, (bm, n_cols)),
+                           pltpu.roll(x, shift=jnp.int32(1), axis=0))
+            down = jnp.where(rows == jnp.int32(bm - 1),
+                             jnp.broadcast_to(bot1, (bm, n_cols)),
+                             pltpu.roll(x, shift=jnp.int32(bm - 1), axis=0))
+            return (up + down + _roll_lanes(x, 1) + _roll_lanes(x, -1)
+                    - 4.0 * x) * inv_h2
+
+        def lap_row(above, mid, below):
+            """Laplacian of one (1, n) row from its vertical neighbours."""
+            return (above + below + _roll_lanes(mid, 1)
+                    + _roll_lanes(mid, -1) - 4.0 * mid) * inv_h2
+
+        def compute(s, top, bot):
+            # top = u rows [start-2, start); bot = u rows [start+bm, +2)
+            lap1 = lap_ghosted(s, top[1:2], bot[0:1])
+            lap1_top = lap_row(top[0:1], top[1:2], s[0:1])      # row -1
+            lap1_bot = lap_row(s[bm - 1:bm], bot[0:1], bot[1:2])  # row bm
+            lap2 = lap_ghosted(lap1, lap1_top, lap1_bot)
+            return -lap2 - 2.0 * lap1 + (r - 1.0) * s
+
+        return _monotonic_stream_pipeline(
+            n_rows, n_cols, bm, compute, u.dtype, ghost=2)(u)
 
     def compute(s):
         # first Laplacian on rows [H-1, H+bm+1) — one ghost ring for lap2

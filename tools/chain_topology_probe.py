@@ -10,44 +10,21 @@ both ways at 8192^2 f32.
 
 Usage: python tools/chain_topology_probe.py
 """
-import functools
 import json
 import pathlib
 import sys
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
-from benchmarks.run_all import marginal_ms, chain_fn
+from benchmarks.run_all import marginal_ms, chain_fn, token_chain_fn
 from iterative_solvers_tpu.ops.pallas_stencil import lap_periodic_pallas
 
-_H = 8
-
-
-def token_chain(op, u):
-    """tok -> tok chain with FIXED input u: out = op(u) each iteration,
-    tok folded in via the first 8 rows so iterations stay ordered."""
-    @functools.partial(jax.jit, static_argnums=2)
-    def chain(x, tok, k):
-        # op has has_side_effects=True, so the k calls stay sequential and
-        # are not CSE'd even though x is loop-invariant; only the token
-        # (8 rows of the output) carries between iterations.
-        def body(i, t):
-            return op(x)[:_H, :] + t * 0.0
-
-        return lax.fori_loop(0, k, body, tok)
-
-    def f(k):
-        return jnp.sum(chain(u, jnp.zeros((_H, u.shape[1]), u.dtype), k))
-
-    f.traced_k = True
-    return f
+token_chain = token_chain_fn  # canonical implementation lives in run_all
 
 
 def main():
