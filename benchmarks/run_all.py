@@ -345,23 +345,33 @@ def bench_pallas_stencils():
     # 8192² control: the 4096² in+out working set (128 MB) sits at the VMEM
     # boundary; this row's 512 MB provably streams from HBM, confirming the
     # 4096² fraction is not VMEM-inflated (see bench_spmv's gating).
-    # Both chain topologies are emitted (r5, tools/chain_topology_probe.py):
-    # "inplace" self-chains v=op(v) — XLA aliases the carry, so load and
-    # store streams hit the same HBM buffer and turnaround pins the rate at
-    # ~330 GB/s; the headline roofline row uses the out-of-place production
-    # topology (x -> Ax, distinct buffers), where the mono-pipeline kernels
-    # sustain 620-750 GB/s.
+    # Three chain topologies (r5b, tools/chain_topology_probe.py):
+    #  - *_apply / *_roofline_frac: out-of-place token chain, the Krylov
+    #    x -> Ax production topology (~650-750 GB/s).
+    #  - *_inplace_*: self-chain v = op(v) with input_output_aliases={0:0}
+    #    (race-free by the mono pipeline's construction) — true in-place
+    #    time-stepping, measures the SAME ~650 GB/s.
+    #  - *_carrycopy_*: the un-aliased self-chain.  XLA while-loop carries
+    #    have fixed buffers and an opaque pallas_call cannot alias its
+    #    output onto its input, so every iteration inserts a full-field
+    #    copy; copy traffic = kernel traffic, halving apparent bandwidth
+    #    (~330 GB/s).  Kept as a regression row for the trap.
     n8 = 8192
     u8 = jnp.array(
         np.random.default_rng(2).standard_normal((n8, n8)), dtype=jnp.float32
     )
-    for name, op8, byts in [
+    for name, op8, op8_inplace, byts in [
         ("lap8192_pallas", lambda x: lap_periodic_pallas(x, h_b),
+         lambda x: lap_periodic_pallas(x, h_b, inplace=True),
          2 * n8 * n8 * 4),
         ("sh8192_pallas", lambda x: sh_operator_pallas(x, h_b, 0.5),
+         lambda x: sh_operator_pallas(x, h_b, 0.5, inplace=True),
          2 * n8 * n8 * 4),
     ]:
-        ms_in = marginal_ms(chain_fn(op8, u8), 25, 100, reps=5)
+        ms_cc = marginal_ms(chain_fn(op8, u8), 25, 100, reps=5)
+        emit(f"{name}_carrycopy_apply", ms_cc, "ms")
+        emit(f"{name}_carrycopy_gbps", byts / ms_cc / 1e6, "GB/s")
+        ms_in = marginal_ms(chain_fn(op8_inplace, u8), 25, 100, reps=5)
         emit(f"{name}_inplace_apply", ms_in, "ms")
         emit(f"{name}_inplace_gbps", byts / ms_in / 1e6, "GB/s")
         ms = marginal_ms(token_chain_fn(op8, u8), 25, 100, reps=5)
