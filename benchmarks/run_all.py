@@ -11,7 +11,6 @@ Baselines (BASELINE.md, survey host CPU):
   pma_loop_iter        2.1 ms/iter       (91x61, droplet monitor chain)
   poisson_999          51.6 s            (spsolve, 999^2 unknowns)
 """
-import functools
 import json
 import pathlib
 import sys
@@ -80,30 +79,31 @@ def chain_fn(op, x0, *arrays):
     return f
 
 
-def token_chain_fn(op, u):
-    """Out-of-place chain for marginal_ms: ``out = op(u)`` each iteration
-    with a FIXED input, only an 8-row token of the output carried between
-    iterations (the kernels have has_side_effects=True, so the calls are
-    neither CSE'd nor hoisted despite the loop-invariant input).
+def token_chain_fn(op, u, *arrays):
+    """Out-of-place chain for marginal_ms: ``out = op(u, *arrays)`` each
+    iteration with FIXED inputs, only a small token of the output carried
+    between iterations.
 
     This is the PRODUCTION topology for operator application (Krylov
-    matvec x -> Ax: distinct buffers).  The self-chained ``chain_fn``
-    (v = op(v)) lets XLA alias the carry in-place, so the kernel's HBM
-    load and store streams hit the SAME buffer — measured r5: in-place
-    streaming pins at ~330 GB/s while the identical kernel sustains
-    620-750 GB/s out-of-place (tools/chain_topology_probe.py).  Emit both;
-    the roofline fraction uses this one."""
-    _H = 8
+    matvec x -> Ax: distinct buffers) and the required topology for
+    PALLAS rows: the self-chained ``chain_fn`` (v = op(v)) forces XLA to
+    insert a hidden full-field copy per iteration (while-loop carry slots
+    have fixed buffers and an opaque pallas_call cannot alias out onto
+    in), which halved the apparent bandwidth of every self-chained Pallas
+    row — 330 vs 650-750 GB/s for the 8192² stencils
+    (tools/chain_topology_probe.py, r5b).  Only valid for side-effecting
+    ops (Pallas kernels set has_side_effects=True, so the loop-invariant
+    calls are neither CSE'd nor hoisted); a pure-jnp op here would
+    collapse to one call — keep XLA comparison rows on ``chain_fn``."""
+    T = 1024
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def chain(x, tok, k):
-        def body(i, t):
-            return op(x)[:_H, :] + t * 0.0
-
-        return lax.fori_loop(0, k, body, tok)
+    jf = jax.jit(lambda x, arrs, tok, k: jnp.sum(
+        lax.fori_loop(
+            0, k, lambda i, t: op(x, *arrs).reshape(-1)[:T] + t * 0.0,
+            tok)))
 
     def f(k):
-        return jnp.sum(chain(u, jnp.zeros((_H, u.shape[1]), u.dtype), k))
+        return jf(u, arrays, jnp.zeros((T,), u.dtype), k)
 
     f.traced_k = True
     return f
@@ -420,12 +420,16 @@ def bench_droplet_jvp():
         "droplet jvp pallas parity"
 
     bytes_min = 10 * n * n * 4
-    for name, op in [
-        ("dropjvp4096_xla", lambda vv, st: jvp_apply_ref(vv, st, cfg.grid)),
+    for name, op, mk in [
+        # XLA row: pure jnp, must self-chain (a token chain would CSE it);
+        # XLA can alias the pure-HLO carry without a copy
+        ("dropjvp4096_xla", lambda vv, st: jvp_apply_ref(vv, st, cfg.grid),
+         chain_fn),
         ("dropjvp4096_pallas",
-         lambda vv, st: jvp_matvec_pallas(vv, st, cfg.grid)),
+         lambda vv, st: jvp_matvec_pallas(vv, st, cfg.grid),
+         token_chain_fn),
     ]:
-        ms = marginal_ms(chain_fn(op, v, stack), 10, 60, reps=5)
+        ms = marginal_ms(mk(op, v, stack), 10, 60, reps=5)
         emit(f"{name}_matvec", ms, "ms")
         emit(f"{name}_roofline_frac",
              bytes_min / ms / 1e6 / roofline_denominator_gbps(), "x")
@@ -538,7 +542,7 @@ def bench_spmv():
             diac.data, x2))
         scale = np.abs(ref).max()
         assert np.abs(ref - got).max() / scale < 1e-5, "pallas spmv parity"
-        ms = marginal_ms(chain_fn(
+        ms = marginal_ms(token_chain_fn(
             lambda v, d: grid_dia_matvec_pallas(diac._replace(data=d), v),
             x2, diac.data), 50, 400, reps=5)
         emit_dia_kernel_rows(f"griddia_cyclic_pallas_{nn}sq", nnzc, ms,
@@ -563,7 +567,7 @@ def bench_spmv():
         dflat.data, xd))
     assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
         "flat dia pallas parity"
-    ms = marginal_ms(chain_fn(
+    ms = marginal_ms(token_chain_fn(
         lambda v, d: dia_flat_matvec_pallas(dflat._replace(data=d), (n, n), v),
         xd, dflat.data), 50, 400, reps=5)
     emit_dia_kernel_rows("diaflat_pallas_dirichlet_1024sq", nnz_d, ms,
@@ -597,13 +601,13 @@ def bench_spmv():
         bgrid.data, xb))
     assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
         "griddia biharm pallas parity"
-    ms = marginal_ms(chain_fn(
+    ms = marginal_ms(token_chain_fn(
         lambda v, d: dia_flat_matvec_pallas(bflat._replace(data=d), (n, n), v),
         xb, bflat.data), 50, 400, reps=5)
     emit_dia_kernel_rows("diaflat_pallas_biharm_1024sq", nnz_b, ms,
                          len(bflat.offsets), n, n)
     xb2 = xb.reshape(n, n)
-    ms = marginal_ms(chain_fn(
+    ms = marginal_ms(token_chain_fn(
         lambda v, d: grid_dia_matvec_pallas(bgrid._replace(data=d), v),
         xb2, bgrid.data), 50, 400, reps=5)
     emit_dia_kernel_rows("griddia_pallas_biharm_1024sq", nnz_b, ms,
@@ -619,7 +623,7 @@ def bench_spmv():
             lgrid._replace(data=d), v.reshape(n, n)))(lgrid.data, xb))
     assert np.abs(ref.reshape(n, n) - got).max() / np.abs(ref).max() < 1e-5, \
         "griddia dirichlet pallas parity"
-    ms = marginal_ms(chain_fn(
+    ms = marginal_ms(token_chain_fn(
         lambda v, d: grid_dia_matvec_pallas(lgrid._replace(data=d), v),
         xb2, lgrid.data), 50, 400, reps=5)
     emit_dia_kernel_rows("griddia_pallas_dirichlet_1024sq", nnz_d, ms,
@@ -645,7 +649,7 @@ def bench_spmv():
         bgrid2.data, xbb))
     assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
         "griddia biharm 2048 parity"
-    ms = marginal_ms(chain_fn(
+    ms = marginal_ms(token_chain_fn(
         lambda v, d: grid_dia_matvec_pallas(bgrid2._replace(data=d), v),
         xbb, bgrid2.data), 25, 200, reps=5)
     emit_dia_kernel_rows("griddia_pallas_biharm_2048sq", mb2.nnz, ms,
@@ -663,7 +667,7 @@ def bench_spmv():
         lgrid4.data, xd4))
     assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
         "griddia dirichlet 4096 parity"
-    ms = marginal_ms(chain_fn(
+    ms = marginal_ms(token_chain_fn(
         lambda v, d: grid_dia_matvec_pallas(lgrid4._replace(data=d), v),
         xd4, lgrid4.data), 25, 200, reps=5)
     emit_dia_kernel_rows("griddia_pallas_dirichlet_4096sq", md4.nnz, ms,
@@ -687,7 +691,7 @@ def bench_spmv():
         lambda d, v: lgrid8._replace(data=d)._apply(v))(lgrid8.data, xd8))
     assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
         "griddia dirichlet 8192 parity"
-    ms = marginal_ms(chain_fn(
+    ms = marginal_ms(token_chain_fn(
         lambda v, d: grid_dia_matvec_pallas(lgrid8._replace(data=d), v),
         xd8, lgrid8.data), 10, 60, reps=5)
     emit_dia_kernel_rows("griddia_pallas_dirichlet_8192sq", md8.nnz, ms,
@@ -743,9 +747,12 @@ def bench_spmv():
             diam.data, X3))
         assert np.abs(ref - got).max() / np.abs(ref).max() < 1e-5, \
             "pallas spmm parity"
-        ms = marginal_ms(chain_fn(
+        # token-chained marginals at VMEM-resident sizes need long
+        # chains: at ~20 us/call the 10-vs-60 marginal sits below tunnel
+        # noise (a negative value was observed)
+        ms = marginal_ms(token_chain_fn(
             lambda v, d: grid_dia_matmat_pallas(diam._replace(data=d), v),
-            X3, diam.data), 10, 60, reps=5)
+            X3, diam.data), 25, 400, reps=5)
         emit_spmm_rows(f"griddia_cyclic_pallas_{nn}sq_x8", mc.nnz, ms,
                        len(diam.shifts), 8, nn, nn)
 
@@ -762,10 +769,10 @@ def bench_spmv():
                 diam._replace(data=d), v))(diam.data, Xi))
         assert np.abs(ref - np.moveaxis(goti, 1, 0)).max() \
             / np.abs(ref).max() < 1e-5, "pallas interleaved spmm parity"
-        ms = marginal_ms(chain_fn(
+        ms = marginal_ms(token_chain_fn(
             lambda v, d: grid_dia_matmat_interleaved_pallas(
                 diam._replace(data=d), v),
-            Xi, diam.data), 10, 60, reps=5)
+            Xi, diam.data), 25, 400, reps=5)
         emit_spmm_rows(f"griddia_cyclic_ilv_pallas_{nn}sq_x8", mc.nnz, ms,
                        len(diam.shifts), 8, nn, nn)
 
