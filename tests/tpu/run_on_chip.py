@@ -78,6 +78,29 @@ def main():
     want = jax.jit(lambda x: sh_linear_operator(x, h, 0.01))(u)
     check("sh_pallas_parity", rel_err(got, want) < 1e-5, f"{rel_err(got, want):.2e}")
 
+    # aliased in-place self-chain (inplace=True -> input_output_aliases):
+    # a 5-deep chain catches both the aliasing correctness and the mono
+    # pipeline's in-place race-freedom (r5b)
+    def chain5(x, op):
+        for _ in range(5):
+            x = op(x)
+        return x
+
+    # contraction constants (h=sqrt(8), r=0.5) keep the 5-deep chain
+    # bounded in f32 (same choice as benchmarks/run_all.py)
+    h_c = float(np.sqrt(8.0))
+    got = jax.jit(lambda x: chain5(
+        x, lambda y: lap_periodic_pallas(y, h_c, inplace=True)))(u)
+    want = jax.jit(lambda x: chain5(x, lambda y: lap_periodic(y, h_c)))(u)
+    check("lap_pallas_inplace_chain5", rel_err(got, want) < 1e-4,
+          f"{rel_err(got, want):.2e}")
+    got = jax.jit(lambda x: chain5(
+        x, lambda y: sh_operator_pallas(y, h_c, 0.5, inplace=True)))(u)
+    want = jax.jit(lambda x: chain5(
+        x, lambda y: sh_linear_operator(y, h_c, 0.5)))(u)
+    check("sh_pallas_inplace_chain5", rel_err(got, want) < 1e-4,
+          f"{rel_err(got, want):.2e}")
+
     # -- SpMV kernels ---------------------------------------------------------
     from iterative_solvers_tpu.ops.sparse import (
         DIA, GridDIA, sh_operator, biharmonic_dirichlet,
