@@ -1,6 +1,14 @@
 """Isolating microbenchmark ladder for the few-stream stencil gap (VERDICT
 r4 item 2).
 
+RESOLVED r5b (tools/chain_topology_probe.py + PARITY.md): the lap-vs-copy
+gap this ladder exposed was the benchmark CHAIN TOPOLOGY, not the kernels
+— the lap rows self-chained v=op(v) (XLA inserts a hidden full-field
+carry-restore copy around the opaque pallas_call, halving apparent
+bandwidth) while this ladder's copy kernel was token-chained.  The same
+stencil kernels measure 620-750 GB/s out-of-place or aliased in-place.
+The ladder is kept as the diagnostic that localised the gap.
+
 The lap kernel's 2-stream slab pipeline sustains only ~320-335 GB/s at
 provably-streaming sizes (>= 6144²) while the 14-stream SpMV pipeline and
 the XLA triad reach ~670-710 GB/s.  Candidate explanations: (a) HBM
