@@ -3,24 +3,29 @@
 XLA already fuses the shifted-slice stencil pipelines in :mod:`.stencils`
 well; these kernels exist for the cases where manual control wins:
 
-- :func:`lap_periodic_pallas` — 5-point periodic Laplacian as a
-  double-buffered slab pipeline.
+- :func:`lap_periodic_pallas` — 5-point periodic Laplacian.
 - :func:`sh_operator_pallas` — the fused Swift–Hohenberg operator
   ``-Lap^2 - 2 Lap + (r-1) I``: one slab load per block feeds the double
   Laplacian, halving HBM traffic vs two separate Laplacian passes.
 
-Both run as a SINGLE kernel invocation (``grid=()``) with an internal
-``fori_loop`` over row chunks and two-slot input/output VMEM buffers:
-while chunk *i* computes, the HBM->VMEM load of chunk *i+1* and the
-VMEM->HBM store of chunk *i-1* are in flight.  Measured at 4096² f32 on
-v5e (tools/tune_sh_kernel.py, round 2): lap 0.195 ms = 84% of the HBM
-roofline (3.9x XLA); sh 0.267 ms = 61% in min-bytes terms (8.5x XLA).
-The sh kernel is compute-bound, not pipeline-bound: a two-pass
-implementation moves >= 4 n² dtype bytes = 0.33 ms minimum at roofline,
-so the fused kernel already beats the best possible unfused schedule by
-1.2x; block_rows=128 is optimal (256 within 5%, 512 loses pipelining to
-VMEM pressure).  A grid-stepped variant with ``pl.when``-predicated
-cross-step DMA stalled in Mosaic and was abandoned.
+Both default to the r5b **monotonic-stream pipeline**
+(:func:`_monotonic_stream_pipeline`): a SINGLE kernel invocation
+(``grid=()``) with an internal ``fori_loop`` over row chunks, one
+perfectly sequential contiguous load stream and one store stream per
+grid section, zero halo DMAs (ghost rows via VMEM carry/look-ahead), a
+roll/where compute body (sliced/offset VMEM reads cost 12.4 μs/chunk on
+the VPU vs 2.2 for rolls — tools/vpu_rate.py), and optional
+``inplace=True`` output aliasing for self-chained time-stepping (the
+pipeline is race-free in place by construction).  Measured at 8192² f32
+streaming on v5e (BENCH_SUITE_r05): lap 0.79-0.86 of the HBM roofline
+and the fused sh operator 0.78-0.80 in min-bytes terms, out-of-place or
+aliased in-place alike (~650-750 GB/s; the older halo'd pipeline and the
+~330 GB/s self-chained figures are explained in PARITY.md's r5b section
+— XLA's hidden carry copy, not the kernels).  The r2 halo'd
+double-buffered pipeline (:func:`_double_buffered_stencil`) is kept for
+A/B (``mode="halo"``); a grid-stepped variant with
+``pl.when``-predicated cross-step DMA stalled in Mosaic and was
+abandoned.
 
 Mosaic constraints honoured here:
 - DMA destinations in VMEM must be sublane-aligned, so the halo strips are
